@@ -273,6 +273,8 @@ class InpaintUNet(nn.Module):
             f, m = conv(cat_f, cat_m)
             f = F.leaky_relu(bn(f), 0.2)
         sf, sm = skips[0]
+        f = F.interpolate(f, scale_factor=2, mode="nearest")
+        m = F.interpolate(m, scale_factor=2, mode="nearest")
         f = torch.cat([f, sf], dim=1)
         m = torch.cat([m.expand(-1, f.shape[1] - sf.shape[1], -1, -1), sm.expand_as(sf)], dim=1)
         out, _ = self.head(f, m)

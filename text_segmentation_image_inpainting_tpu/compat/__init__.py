@@ -1,0 +1,15 @@
+from text_segmentation_image_inpainting_tpu.compat.torch_import import (
+    import_inpaint_unet,
+    import_mobilenetv2_encoder,
+    import_text_segmenter,
+    import_vgg16_features,
+    tolerant_import,
+)
+
+__all__ = [
+    "import_inpaint_unet",
+    "import_mobilenetv2_encoder",
+    "import_text_segmenter",
+    "import_vgg16_features",
+    "tolerant_import",
+]

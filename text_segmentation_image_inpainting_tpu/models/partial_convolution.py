@@ -1,0 +1,145 @@
+"""Partial-convolution layer + inpainting U-Net (Liu et al. 2018).
+
+TPU-native rebuild of the reference's ``models/partial_convolution.py``
+(SURVEY.md C5/C6). The layer forwards to
+``ops.partial_conv2d`` — XLA fallback or the fused Pallas kernel
+(``impl='pallas'``) that does masked conv, 1/sum(M) renorm and binary
+mask update in one pass (BASELINE.json:5).
+
+Masks ride alongside features as (N, H, W, G) *grouped* masks
+(see ops/partial_conv.py): G=1 everywhere except right after the
+decoder's skip concat, where G=2 (decoder stream + encoder skip) — an
+exact, bandwidth-cheap encoding of the paper's per-channel masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from text_segmentation_image_inpainting_tpu.ops.partial_conv import partial_conv2d
+from text_segmentation_image_inpainting_tpu.ops.resize import upsample_nearest
+
+
+class PartialConv(nn.Module):
+    """Partial 2-D convolution: (features, mask) -> (features', mask')."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | None = None  # default: torch-style k//2
+    dilation: int = 1
+    use_bias: bool = True
+    impl: str = "xla"  # 'xla' | 'pallas'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, *, group_sizes: Sequence[int] | None = None):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        pad = self.dilation * (k - 1) // 2 if self.padding is None else self.padding
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),  # kaiming, matching reference init
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return partial_conv2d(
+            x,
+            mask.astype(x.dtype),
+            kernel.astype(self.dtype),
+            bias.astype(self.dtype) if bias is not None else None,
+            group_sizes=group_sizes,
+            stride=self.stride,
+            padding=pad,
+            dilation=self.dilation,
+            impl=self.impl,
+        )
+
+
+class InpaintUNet(nn.Module):
+    """Partial-conv U-Net inpainting generator (SURVEY.md C6).
+
+    Encoder: stride-2 partial convs (kernels 7/5/5/3..., channels
+    64->512), ReLU, BatchNorm except the first layer. Decoder: nearest
+    x2 upsample of feature AND mask, concat skip feature + skip mask,
+    3x3 partial conv, BatchNorm, LeakyReLU(0.2). Final layer
+    concatenates the raw (image, mask) input and maps to RGB with bias,
+    no norm/activation.
+
+    ``depth`` (default 8) fits 512x512 inputs (bottleneck 2x2); reduce
+    for smaller test shapes. Input spatial size must be divisible by
+    2**depth.
+    """
+
+    depth: int = 8
+    impl: str = "xla"
+    dtype: Any = jnp.float32
+
+    ENC: Tuple[Tuple[int, int, bool], ...] = (
+        (64, 7, False),
+        (128, 5, True),
+        (256, 5, True),
+        (512, 3, True),
+        (512, 3, True),
+        (512, 3, True),
+        (512, 3, True),
+        (512, 3, True),
+    )
+
+    @nn.compact
+    def __call__(self, x, mask, *, train: bool = False):
+        assert 3 <= self.depth <= 8
+        assert x.shape[1] % (1 << self.depth) == 0 and x.shape[2] % (1 << self.depth) == 0, (
+            f"spatial dims {x.shape[1:3]} must be divisible by 2**depth={1 << self.depth}"
+        )
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+
+        skips = [(x, mask)]
+        f, m = x, mask
+        for i, (cout, k, use_bn) in enumerate(self.ENC[: self.depth]):
+            f, m = PartialConv(
+                cout, k, stride=2, use_bias=not use_bn, impl=self.impl,
+                dtype=self.dtype, name=f"enc{i}",
+            )(f, m)
+            if use_bn:
+                f = bn(f"enc{i}_bn")(f)
+            f = nn.relu(f)
+            skips.append((f, m))
+
+        for lvl in range(self.depth - 1, 0, -1):
+            sf, sm = skips[lvl]
+            f = upsample_nearest(f, 2)
+            m = upsample_nearest(m, 2)
+            cat_f = jnp.concatenate([f, sf], axis=-1)
+            cat_m = jnp.concatenate([m, sm], axis=-1)
+            f, m = PartialConv(
+                sf.shape[-1], 3, use_bias=False, impl=self.impl,
+                dtype=self.dtype, name=f"dec{lvl}",
+            )(cat_f, cat_m, group_sizes=(f.shape[-1], sf.shape[-1]))
+            f = nn.leaky_relu(bn(f"dec{lvl}_bn")(f), 0.2)
+
+        sf, sm = skips[0]
+        f = upsample_nearest(f, 2)
+        m = upsample_nearest(m, 2)
+        cat_f = jnp.concatenate([f, sf], axis=-1)
+        cat_m = jnp.concatenate([m, sm], axis=-1)
+        out, _ = PartialConv(
+            3, 3, use_bias=True, impl=self.impl, dtype=self.dtype, name="head"
+        )(cat_f, cat_m, group_sizes=(f.shape[-1], sf.shape[-1]))
+        return out
+
+    @staticmethod
+    def compose(out, gt, mask):
+        """I_comp = M*I_gt + (1-M)*I_out (paper's composed image)."""
+        return mask * gt + (1.0 - mask) * out
