@@ -1,0 +1,83 @@
+"""Headline benchmark: fused end-to-end 512^2 pages/sec on one chip.
+
+Runs BASELINE.json config 3 (segment -> mask dilation -> partial-conv
+inpaint, batch=8, bf16) on the real TPU and prints ONE JSON line.
+``vs_baseline`` is measured pages/sec/chip over the north-star's
+per-chip share (1e3 pages/sec on v5e-8 => 125 pages/sec/chip,
+BASELINE.json:2,5).
+
+Timing notes (this environment): ``block_until_ready`` does not
+actually block on the axon-tunneled TPU, and per-call dispatch rides a
+network tunnel — so the K timing iterations run INSIDE one jit via
+``lax.scan`` (carry-dependent inputs prevent CSE) and completion is
+forced by reading one scalar back to host.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import os
+
+import jax
+
+os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"), exist_ok=True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+BATCH = 8
+SIZE = 512
+K = 20  # pipeline iterations per timed call
+TARGET_PAGES_PER_SEC_PER_CHIP = 125.0
+
+
+def main():
+    from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
+
+    pipe = TextRemovalPipeline()
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    pages = jnp.asarray(
+        np.random.default_rng(0).random((BATCH, SIZE, SIZE, 3), dtype=np.float32)
+    )
+
+    @jax.jit
+    def run_k(seg_vars, unet_vars, pages):
+        def body(carry, _):
+            # carry-dependent input defeats CSE across iterations
+            p = pages + carry * 1e-20
+            clean, mask = pipe.run(seg_vars, unet_vars, p)
+            return jnp.sum(clean[0, 0, 0]).astype(jnp.float32), None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), None, length=K)
+        return out
+
+    # compile + warmup (forced sync via scalar read)
+    float(run_k(seg_vars, unet_vars, pages))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        s = float(run_k(seg_vars, unet_vars, pages))
+    dt = (time.perf_counter() - t0) / reps
+    pages_per_sec = BATCH * K / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "fused_segment_dilate_inpaint_512px_pages_per_sec_per_chip",
+                "value": round(pages_per_sec, 2),
+                "unit": "pages/s",
+                "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from text_segmentation_image_inpainting_tpu.pipeline.end_to_end import (
+    TextRemovalPipeline,
+    preprocess_page,
+)
+
+__all__ = ["TextRemovalPipeline", "preprocess_page"]

@@ -1,0 +1,84 @@
+"""Fused segment -> mask-dilate -> inpaint page pipeline (SURVEY.md C12).
+
+In the reference this is manual notebook glue with a host round-trip for
+cv2 mask dilation (SURVEY.md section 3.3). Here the whole chain is ONE
+jit-compiled XLA program: segmentation forward, sigmoid/threshold,
+max-pool dilation, hole masking, partial-conv inpainting and final
+compositing all stay on device — pages stream through with no host hops
+(the BASELINE.json:5 north star). Batched over the ``data`` mesh axis
+for multi-chip streaming.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from text_segmentation_image_inpainting_tpu.models.partial_convolution import InpaintUNet
+from text_segmentation_image_inpainting_tpu.models.text_segmentation import TextSegmenter
+from text_segmentation_image_inpainting_tpu.ops.morphology import dilate_mask
+from text_segmentation_image_inpainting_tpu.ops.resize import resize_bilinear
+
+
+def preprocess_page(image: jax.Array, size: Tuple[int, int] = (512, 512)) -> jax.Array:
+    """On-device resize of (N,H,W,3) uint8/float to float [0,1] at ``size``."""
+    x = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        x = x / 255.0
+    return resize_bilinear(x, size)
+
+
+@dataclasses.dataclass(frozen=True)
+class TextRemovalPipeline:
+    """Two-stage text removal, end-to-end on device.
+
+    Usage:
+        pipe = TextRemovalPipeline()
+        fn = jax.jit(pipe.run)        # or pipe.jitted()
+        clean, text_mask = fn(seg_vars, unet_vars, pages)
+    """
+
+    threshold: float = 0.5
+    dilate_radius: int = 3
+    seg: TextSegmenter = dataclasses.field(default_factory=TextSegmenter)
+    unet: InpaintUNet = dataclasses.field(default_factory=InpaintUNet)
+    compute_dtype: Any = jnp.bfloat16
+
+    def segment(self, seg_variables, pages: jax.Array) -> jax.Array:
+        """pages (N,H,W,3) in [0,1] -> dilated binary text mask (N,H,W,1)."""
+        logits = self.seg.apply(seg_variables, pages.astype(self.compute_dtype))
+        text = (jax.nn.sigmoid(logits.astype(jnp.float32)) > self.threshold).astype(
+            self.compute_dtype
+        )
+        return dilate_mask(text, self.dilate_radius)
+
+    def inpaint(self, unet_variables, pages: jax.Array, text_mask: jax.Array) -> jax.Array:
+        """Inpaint the text region; returns the composited clean page."""
+        valid = (1.0 - text_mask).astype(self.compute_dtype)
+        pages = pages.astype(self.compute_dtype)
+        holes_zeroed = pages * valid
+        out = self.unet.apply(unet_variables, holes_zeroed, valid)
+        comp = valid * pages + (1.0 - valid) * out
+        return comp.astype(jnp.float32)
+
+    def run(self, seg_variables, unet_variables, pages: jax.Array):
+        """Full fused pipeline: (clean_pages, text_mask)."""
+        text_mask = self.segment(seg_variables, pages)
+        clean = self.inpaint(unet_variables, pages, text_mask)
+        return clean, text_mask.astype(jnp.float32)
+
+    def jitted(self, donate_pages: bool = False):
+        return jax.jit(self.run, donate_argnums=(2,) if donate_pages else ())
+
+    def init_variables(self, rng: jax.Array, page_hw: Tuple[int, int] = (512, 512)):
+        """Fresh variables for both stages (dev/testing convenience)."""
+        k1, k2 = jax.random.split(rng)
+        x = jnp.zeros((1, *page_hw, 3), self.compute_dtype)
+        m = jnp.ones((1, *page_hw, 1), self.compute_dtype)
+        seg_vars = jax.jit(self.seg.init)(k1, x)
+        unet_vars = jax.jit(self.unet.init)(k2, x, m)
+        return seg_vars, unet_vars

@@ -1,0 +1,16 @@
+from text_segmentation_image_inpainting_tpu.train.config import (
+    InpaintTrainConfig,
+    SegTrainConfig,
+)
+from text_segmentation_image_inpainting_tpu.train.state import TrainState, create_train_state
+from text_segmentation_image_inpainting_tpu.train.seg import make_seg_train_step
+from text_segmentation_image_inpainting_tpu.train.inpaint import make_inpaint_train_step
+
+__all__ = [
+    "SegTrainConfig",
+    "InpaintTrainConfig",
+    "TrainState",
+    "create_train_state",
+    "make_seg_train_step",
+    "make_inpaint_train_step",
+]

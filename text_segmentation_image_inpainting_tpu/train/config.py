@@ -1,0 +1,55 @@
+"""Training configs — one small dataclass per task (SURVEY.md section 5:
+the reference hard-codes hyperparameters in scripts/notebooks; here they
+live in a single typed config, no framework)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from text_segmentation_image_inpainting_tpu.losses.inpainting import InpaintLossConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 2e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    amsgrad: bool = False  # README mentions AMSGrad experiments (SURVEY.md C11)
+    grad_clip_norm: float | None = None
+    warmup_steps: int = 0
+    # cosine warm-restart period (0 = constant LR); reference README
+    # mentions LR warm-restart scheduling [R-low]
+    restart_period: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SegTrainConfig:
+    image_size: Tuple[int, int] = (512, 512)
+    batch_size: int = 8
+    width_mult: float = 1.0
+    output_stride: int = 8
+    bce_weight: float = 1.0
+    dice_weight: float = 1.0
+    focal_weight: float = 0.0
+    pos_weight: float | None = 3.0  # text pixels are rare
+    freeze_encoder: bool = False  # staged training (SURVEY.md C11)
+    optimizer: OptimizerConfig = OptimizerConfig()
+    bf16_compute: bool = True
+    checkpoint_every: int = 500
+    log_every: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class InpaintTrainConfig:
+    image_size: Tuple[int, int] = (512, 512)
+    batch_size: int = 8
+    depth: int = 8
+    loss: InpaintLossConfig = InpaintLossConfig()
+    freeze_bn: bool = False  # paper's phase-2 BN-freeze fine-tune
+    optimizer: OptimizerConfig = OptimizerConfig()
+    bf16_compute: bool = True
+    pconv_impl: str = "xla"  # 'xla' | 'pallas'
+    checkpoint_every: int = 500
+    log_every: int = 50
