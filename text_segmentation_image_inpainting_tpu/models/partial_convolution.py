@@ -51,6 +51,7 @@ class PartialConv(nn.Module):
             if self.use_bias
             else None
         )
+        x = x.astype(self.dtype)
         return partial_conv2d(
             x,
             mask.astype(x.dtype),

@@ -61,17 +61,19 @@ def conv2d(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
-    if preferred_dtype is None:
-        preferred_dtype = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    # preferred_element_type widening breaks conv transposition under
+    # autodiff (jax 0.9); TPU accumulates bf16 convs in f32 natively, so
+    # only pass it when explicitly requested for a non-diff path.
+    kwargs = {} if preferred_dtype is None else {"preferred_element_type": preferred_dtype}
     out = lax.conv_general_dilated(
         x,
-        kernel,
+        kernel.astype(x.dtype),
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dh, dw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=preferred_dtype,
+        **kwargs,
     )
     out = out.astype(x.dtype)
     if bias is not None:

@@ -23,23 +23,35 @@ def dilate_mask(mask: jax.Array, radius: int = 3, iterations: int = 1) -> jax.Ar
     """Binary dilation with a (2r+1)x(2r+1) square structuring element.
 
     mask: (N, H, W, C) in {0,1}. Equivalent to cv2.dilate with a square
-    kernel; implemented as max-pool so XLA keeps it on device and fuses it
-    into the surrounding pipeline.
+    kernel. TPU layout notes: a square max-pool on an (N, H, W, 1) array
+    puts the size-1 channel in the lane dim — 1/128 VPU efficiency. So
+    the C=1 case squeezes to (N, H, W) (W on lanes) and the square max
+    separates into a vertical + horizontal 1-D pass (exact for square
+    structuring elements), turning 49 compares/pixel at 1/128 lanes into
+    14 at full width.
     """
     if radius <= 0 or iterations <= 0:
         return mask
     k = 2 * radius + 1
-    out = mask
-    for _ in range(iterations):
-        out = lax.reduce_window(
-            out,
-            jnp.zeros((), out.dtype),
-            lax.max,
-            window_dimensions=(1, k, k, 1),
-            window_strides=(1, 1, 1, 1),
-            padding=((0, 0), (radius, radius), (radius, radius), (0, 0)),
+    squeeze = mask.shape[-1] == 1
+    out = mask[..., 0] if squeeze else mask
+
+    def max1d(x, axis):
+        win = [1] * x.ndim
+        pad = [(0, 0)] * x.ndim
+        win[axis] = k
+        pad[axis] = (radius, radius)
+        return lax.reduce_window(
+            x, jnp.zeros((), x.dtype), lax.max,
+            window_dimensions=tuple(win), window_strides=(1,) * x.ndim,
+            padding=tuple(pad),
         )
-    return out
+
+    h_axis = 1
+    w_axis = 2
+    for _ in range(iterations):
+        out = max1d(max1d(out, h_axis), w_axis)
+    return out[..., None] if squeeze else out
 
 
 def erode_mask(mask: jax.Array, radius: int = 1) -> jax.Array:

@@ -130,8 +130,9 @@ def partial_conv2d(
             partial_conv2d_pallas,
         )
 
+        # positional: custom_vjp nondiff args cannot be passed by keyword
         return partial_conv2d_pallas(
-            x, mask, kernel, bias, group_sizes=tuple(group_sizes), stride=s, padding=p, dilation=d
+            x, mask.astype(x.dtype), kernel, bias, tuple(group_sizes), s, p, d
         )
 
     return _partial_conv2d_xla(x, mask, kernel, bias, tuple(group_sizes), s, p, d)
@@ -141,6 +142,9 @@ def _partial_conv2d_xla(x, mask, kernel, bias, group_sizes, stride, padding, dil
     kh, kw, cin, _ = kernel.shape
     masked = x * broadcast_mask(mask.astype(x.dtype), group_sizes)
     acc_dtype = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    # NOTE: no preferred_element_type here — conv with a widened output
+    # dtype is not transposable under autodiff (jax 0.9), and TPU bf16
+    # convs accumulate in f32 natively anyway; the epilogue runs in f32.
     feat = lax.conv_general_dilated(
         masked,
         kernel.astype(x.dtype),
@@ -148,8 +152,7 @@ def _partial_conv2d_xla(x, mask, kernel, bias, group_sizes, stride, padding, dil
         padding=((padding[0], padding[0]), (padding[1], padding[1])),
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=acc_dtype,
-    )
+    ).astype(acc_dtype)
     msum = mask_window_sum(
         mask, group_sizes, (kh, kw), stride=stride, padding=padding, dilation=dilation
     )

@@ -12,6 +12,8 @@ for multi-chip streaming.
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 from functools import partial
 from typing import Any, Tuple
 
@@ -51,9 +53,10 @@ class TextRemovalPipeline:
     def segment(self, seg_variables, pages: jax.Array) -> jax.Array:
         """pages (N,H,W,3) in [0,1] -> dilated binary text mask (N,H,W,1)."""
         logits = self.seg.apply(seg_variables, pages.astype(self.compute_dtype))
-        text = (jax.nn.sigmoid(logits.astype(jnp.float32)) > self.threshold).astype(
-            self.compute_dtype
-        )
+        # sigmoid(x) > t  <=>  x > logit(t): skips the transcendental on a
+        # lane-dim-1 tensor (slow VPU layout)
+        logit_t = float(np.log(self.threshold / (1.0 - self.threshold)))
+        text = (logits.astype(jnp.float32) > logit_t).astype(self.compute_dtype)
         return dilate_mask(text, self.dilate_radius)
 
     def inpaint(self, unet_variables, pages: jax.Array, text_mask: jax.Array) -> jax.Array:

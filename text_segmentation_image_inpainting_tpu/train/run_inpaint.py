@@ -1,0 +1,151 @@
+"""Inpainting training driver (SURVEY.md C11 rebuilt as a CLI).
+
+    python -m text_segmentation_image_inpainting_tpu.train.run_inpaint \
+        --steps 1000 --batch-size 8 --ckpt-dir checkpoints/inpaint
+
+Implements the paper's two-phase schedule via flags: train with
+``--freeze-bn`` for the fine-tune phase (encoder BN frozen, LR lowered),
+matching the reference capability (SURVEY.md C11). VGG16 weights load
+from ``--vgg-ckpt`` (a torchvision ``vgg16`` state_dict imported via
+compat/) or random-init for loss-shape development when unavailable
+(no-network environment, SURVEY.md "hard parts" #3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from text_segmentation_image_inpainting_tpu.data.pipeline import (
+    DevicePrefetcher,
+    make_dataset,
+)
+from text_segmentation_image_inpainting_tpu.models import InpaintUNet, VGG16Features
+from text_segmentation_image_inpainting_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
+from text_segmentation_image_inpainting_tpu.train.config import (
+    InpaintTrainConfig,
+    OptimizerConfig,
+)
+from text_segmentation_image_inpainting_tpu.train.inpaint import (
+    make_inpaint_eval_step,
+    make_inpaint_train_step,
+)
+from text_segmentation_image_inpainting_tpu.train.state import create_train_state
+from text_segmentation_image_inpainting_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--freeze-bn", action="store_true", help="phase-2 fine-tune")
+    p.add_argument("--pconv-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--vgg-ckpt", type=str, default=None, help="torchvision vgg16 .pth")
+    p.add_argument("--ckpt-dir", type=str, default="checkpoints/inpaint")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_vgg_variables(vgg: VGG16Features, ckpt_path: str | None, rng, sample):
+    template = jax.jit(vgg.init)(rng, sample)
+    if not ckpt_path:
+        print("WARNING: random VGG16 weights (no --vgg-ckpt given); "
+              "perceptual/style terms are untrained-feature losses")
+        return template
+    from text_segmentation_image_inpainting_tpu.compat.torch_import import (
+        import_vgg16_features,
+        load_torch_file,
+        tolerant_import,
+    )
+
+    sd = load_torch_file(ckpt_path)
+    return tolerant_import(template, import_vgg16_features(sd))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = InpaintTrainConfig(
+        image_size=(args.image_size, args.image_size),
+        batch_size=args.batch_size,
+        depth=args.depth,
+        freeze_bn=args.freeze_bn,
+        bf16_compute=args.bf16,
+        pconv_impl=args.pconv_impl,
+        optimizer=OptimizerConfig(learning_rate=args.lr),
+        checkpoint_every=args.ckpt_every,
+        log_every=args.log_every,
+    )
+    mesh = make_mesh()
+    dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
+    model = InpaintUNet(depth=cfg.depth, impl=cfg.pconv_impl, dtype=dtype)
+    vgg = VGG16Features(dtype=dtype)
+
+    paths = None
+    if args.data_dir:
+        import glob as _glob
+
+        paths = sorted(
+            _glob.glob(f"{args.data_dir}/**/*.png", recursive=True)
+            + _glob.glob(f"{args.data_dir}/**/*.jpg", recursive=True)
+        )
+    host_it = make_dataset(
+        "inpaint", batch_size=cfg.batch_size, size=cfg.image_size, seed=args.seed,
+        paths=paths,
+    )
+    prefetch = DevicePrefetcher(host_it, batch_sharding(mesh))
+
+    k0, k1 = jax.random.split(jax.random.key(args.seed))
+    sample = jnp.zeros((1, *cfg.image_size, 3), jnp.float32)
+    ones = jnp.ones((1, *cfg.image_size, 1), jnp.float32)
+    variables = jax.jit(model.init)(k0, sample, ones)
+    vgg_vars = jax.device_put(
+        load_vgg_variables(vgg, args.vgg_ckpt, k1, sample), replicated(mesh)
+    )
+    state = create_train_state(variables, model.apply, cfg.optimizer)
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(args.ckpt_dir, save_interval_steps=cfg.checkpoint_every)
+    state, restored_step = ckpt.restore_latest(state)
+    if restored_step is not None:
+        print(f"resumed from step {restored_step}")
+
+    train_step = jax.jit(make_inpaint_train_step(model, cfg, vgg_vars), donate_argnums=0)
+    eval_step = jax.jit(make_inpaint_eval_step(model))
+    logger = MetricLogger("inpaint")
+
+    t0 = time.time()
+    for step in range(int(state.step), args.steps):
+        batch = next(prefetch)
+        state, metrics = train_step(state, batch)
+        if (step + 1) % cfg.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update({k: float(v) for k, v in eval_step(state, batch).items()})
+            m["pages_per_sec"] = cfg.log_every * cfg.batch_size / (time.time() - t0)
+            logger.log(step + 1, m)
+            t0 = time.time()
+        ckpt.save(step + 1, state)
+    ckpt.wait()
+    ckpt.close()
+    prefetch.close()
+    print("done:", int(state.step), "steps")
+    return state
+
+
+if __name__ == "__main__":
+    main()

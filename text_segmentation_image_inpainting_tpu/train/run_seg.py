@@ -1,0 +1,129 @@
+"""Segmentation training driver (SURVEY.md C11 rebuilt as a CLI).
+
+    python -m text_segmentation_image_inpainting_tpu.train.run_seg \
+        --steps 1000 --batch-size 8 --ckpt-dir checkpoints/seg
+
+Replaces the reference's ad-hoc notebook loop: Grain pipeline ->
+device prefetch -> jit'd SPMD train step over the data mesh -> metrics
+logging -> async Orbax checkpoints with restore-latest resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text_segmentation_image_inpainting_tpu.data.pipeline import (
+    DevicePrefetcher,
+    make_dataset,
+)
+from text_segmentation_image_inpainting_tpu.models import TextSegmenter
+from text_segmentation_image_inpainting_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
+from text_segmentation_image_inpainting_tpu.train.config import (
+    OptimizerConfig,
+    SegTrainConfig,
+)
+from text_segmentation_image_inpainting_tpu.train.seg import (
+    make_seg_eval_step,
+    make_seg_train_step,
+)
+from text_segmentation_image_inpainting_tpu.train.state import (
+    create_train_state,
+    freeze_mask_for,
+)
+from text_segmentation_image_inpainting_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--width-mult", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--pos-weight", type=float, default=3.0)
+    p.add_argument("--freeze-encoder", action="store_true")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--ckpt-dir", type=str, default="checkpoints/seg")
+    p.add_argument("--data-dir", type=str, default=None, help="image folder; synthetic if unset")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = SegTrainConfig(
+        image_size=(args.image_size, args.image_size),
+        batch_size=args.batch_size,
+        width_mult=args.width_mult,
+        pos_weight=args.pos_weight,
+        freeze_encoder=args.freeze_encoder,
+        bf16_compute=args.bf16,
+        optimizer=OptimizerConfig(learning_rate=args.lr),
+        checkpoint_every=args.ckpt_every,
+        log_every=args.log_every,
+    )
+    mesh = make_mesh()
+    dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
+    model = TextSegmenter(width_mult=cfg.width_mult, dtype=dtype)
+
+    paths = None
+    if args.data_dir:
+        import glob as _glob
+
+        paths = sorted(
+            _glob.glob(f"{args.data_dir}/**/*.png", recursive=True)
+            + _glob.glob(f"{args.data_dir}/**/*.jpg", recursive=True)
+        )
+    host_it = make_dataset(
+        "seg", batch_size=cfg.batch_size, size=cfg.image_size, seed=args.seed, paths=paths
+    )
+    prefetch = DevicePrefetcher(host_it, batch_sharding(mesh))
+
+    sample = jnp.zeros((1, *cfg.image_size, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(args.seed), sample)
+    frozen = freeze_mask_for(variables["params"], "encoder") if cfg.freeze_encoder else None
+    state = create_train_state(variables, model.apply, cfg.optimizer, frozen_mask=frozen)
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(args.ckpt_dir, save_interval_steps=cfg.checkpoint_every)
+    state, restored_step = ckpt.restore_latest(state)
+    if restored_step is not None:
+        print(f"resumed from step {restored_step}")
+
+    train_step = jax.jit(make_seg_train_step(model, cfg), donate_argnums=0)
+    eval_step = jax.jit(make_seg_eval_step(model))
+    logger = MetricLogger("seg")
+
+    t0 = time.time()
+    for step in range(int(state.step), args.steps):
+        batch = next(prefetch)
+        state, metrics = train_step(state, batch)
+        if (step + 1) % cfg.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(eval_step(state, batch))
+            m["pages_per_sec"] = cfg.log_every * cfg.batch_size / (time.time() - t0)
+            logger.log(step + 1, m)
+            t0 = time.time()
+        ckpt.save(step + 1, state)
+    ckpt.wait()
+    ckpt.close()
+    prefetch.close()
+    print("done:", int(state.step), "steps")
+    return state
+
+
+if __name__ == "__main__":
+    main()
