@@ -53,7 +53,9 @@ def main():
             # carry-dependent input defeats CSE across iterations
             p = pages + carry * 1e-20
             clean, mask = pipe.run(seg_vars, unet_vars, p)
-            return jnp.sum(clean[0, 0, 0]).astype(jnp.float32), None
+            # reduce over the FULL outputs so nothing dead-code-eliminates
+            s = jnp.sum(clean.astype(jnp.float32)) + jnp.sum(mask.astype(jnp.float32))
+            return s * 1e-9, None
 
         out, _ = lax.scan(body, jnp.float32(0.0), None, length=K)
         return out

@@ -68,10 +68,10 @@ def _kernel(
     sizes_ref,  # (G, 128) VMEM: per-group channel counts, lane-broadcast
     y_ref,  # out: (1, TH, W_out, TC) VMEM block
     mask_out_ref,  # out: (1, TH, W_out, 1) VMEM block
-    buf,  # scratch (R, W_pad8, Cpack): raw [x | m] rows
-    xm_scr,  # scratch (R, W_pad8, Cpack): masked rows, shared by all Cout tiles
-    ms_scr,  # scratch (TH*W_out, 128) f32: window mask sums
-    sem,  # DMA sem
+    buf0,  # scratch (R, W_pad8, Cpack): raw [x | m] rows, ping
+    buf1,  # scratch (R, W_pad8, Cpack): raw [x | m] rows, pong
+    xm_scr,  # scratch (R+1, W_pad8, Cpack): masked rows (+1 spare row), shared by all Cout tiles
+    sems,  # DMA sems (2,)
     *,
     k: int,
     th: int,
@@ -87,21 +87,17 @@ def _kernel(
     c = pl.program_id(1)
     r = th + k - 1
     g = len(group_sizes)
-    cpack = buf.shape[-1]
+    cpack = buf0.shape[-1]
 
-    # Row-block DMA + masked multiply + mask window sums happen ONCE per
-    # row block (at the first Cout tile; the c grid axis iterates
-    # fastest) and are reused from scratch by the remaining Cout tiles.
-    # DMA destination is a whole scratch ref and the source slices only
-    # untiled leading dims — both Mosaic-legal.
-    @pl.when(c == 0)
-    def _load_rows():
-        n = nh // h_blocks
-        h = nh % h_blocks
-        d = pltpu.make_async_copy(packed_hbm.at[n, pl.ds(h * th, r)], buf, sem)
-        d.start()
-        d.wait()
-        rows = buf[:]
+    def dma_for(step, buf_ref):
+        n = step // h_blocks
+        h = step % h_blocks
+        return pltpu.make_async_copy(
+            packed_hbm.at[n, pl.ds(h * th, r)], buf_ref, sems.at[step % 2]
+        )
+
+    def _prep(buf_ref):
+        rows = buf_ref[:]
         m_rows = rows[..., cin : cin + g]
         # full-lane multiplier: group masks over x lanes, m over its own
         # lanes (m*m = m for binary masks), zeros over the padding tail
@@ -113,33 +109,76 @@ def _kernel(
             ],
             axis=-1,
         )
-        xm_scr[:] = rows * mult
-        sizes_mat = sizes_ref[:].astype(acc_dtype)  # (G, 128)
-        msum = jnp.zeros((th * w_out, 128), acc_dtype)
-        for dkh in range(k):
-            for dkw in range(k):
-                mk = (
-                    m_rows[dkh : dkh + th, dkw : dkw + w_out, :]
-                    .reshape(th * w_out, g)
-                    .astype(acc_dtype)
-                )
-                msum += jnp.dot(mk, sizes_mat, preferred_element_type=acc_dtype)
-        ms_scr[:] = msum
+        # xm_scr has one spare row: the flattened-tap slices of the LAST
+        # tap read up to k-1 elements past r*W_pad (garbage columns only)
+        xm_scr[0:rows.shape[0]] = rows * mult
 
-    acc = jnp.zeros((th * w_out, w_ref.shape[-1]), acc_dtype)
+    # Double-buffered row streaming: wait for this block's rows, kick off
+    # the NEXT block's DMA into the other buffer, then build the masked
+    # rows once per block (the Cout grid axis iterates fastest and reuses
+    # xm_scr). DMA destinations are whole scratch refs and sources slice
+    # only untiled leading dims — both Mosaic-legal.
+    @pl.when(jnp.logical_and(nh == 0, c == 0))
+    def _warmup():
+        dma_for(0, buf0).start()
+
+    @pl.when(c == 0)
+    def _pipeline():
+        nh_total = pl.num_programs(0)
+
+        @pl.when(nh % 2 == 0)
+        def _even():
+            dma_for(nh, buf0).wait()
+
+            @pl.when(nh + 1 < nh_total)
+            def _():
+                dma_for(nh + 1, buf1).start()
+
+            _prep(buf0)
+
+        @pl.when(nh % 2 == 1)
+        def _odd():
+            dma_for(nh, buf1).wait()
+
+            @pl.when(nh + 1 < nh_total)
+            def _():
+                dma_for(nh + 1, buf0).start()
+
+            _prep(buf1)
+
+    # Flattened-tap implicit GEMM: treating the padded rows as ONE flat
+    # pixel axis makes every tap a contiguous sublane slice at offset
+    # dkh*W_pad + dkw (a strided 2-D slice + reshape would gather-copy
+    # the whole block per tap). The k-1 wrap-around columns per row are
+    # garbage and get cropped at the store — (k-1)/W extra compute.
+    w_pad8 = xm_scr.shape[1]
+    pw_flat = th * w_pad8
+    xm_flat = xm_scr[:].reshape((r + 1) * w_pad8, cpack)
+    m_flat = xm_flat[:, cin : cin + g]  # mask lanes hold m (m*m = m, binary)
+    sizes_mat = sizes_ref[:].astype(acc_dtype)  # (G, 128)
+
+    acc = jnp.zeros((pw_flat, w_ref.shape[-1]), acc_dtype)
+    msum = jnp.zeros((pw_flat, 128), acc_dtype)
     for dkh in range(k):
         for dkw in range(k):
-            xm = xm_scr[dkh : dkh + th, dkw : dkw + w_out, :].reshape(th * w_out, cpack)
-            acc += jnp.dot(xm, w_ref[dkh, dkw], preferred_element_type=acc_dtype)
+            off = dkh * w_pad8 + dkw
+            acc += jnp.dot(
+                xm_flat[off : off + pw_flat], w_ref[dkh, dkw],
+                preferred_element_type=acc_dtype,
+            )
+            msum += jnp.dot(
+                m_flat[off : off + pw_flat].astype(acc_dtype), sizes_mat,
+                preferred_element_type=acc_dtype,
+            )
 
-    msum1 = ms_scr[:, 0:1]
+    msum1 = msum[:, 0:1]
     valid = msum1 > 0
     out = acc * (winsize / jnp.maximum(msum1, 1.0))
     if use_bias:
         out = out + b_ref[0][None, :].astype(acc_dtype)
     out = jnp.where(valid, out, jnp.zeros((), acc_dtype))
-    y_ref[0] = out.reshape(th, w_out, -1).astype(y_ref.dtype)
-    mask_out_ref[0] = valid.reshape(th, w_out, 1).astype(mask_out_ref.dtype)
+    y_ref[0] = out.reshape(th, w_pad8, -1)[:, :w_out].astype(y_ref.dtype)
+    mask_out_ref[0] = valid.reshape(th, w_pad8, 1)[:, :w_out].astype(mask_out_ref.dtype)
 
 
 def _pallas_forward(x, mask, kernel, bias, group_sizes, padding, interpret):
@@ -169,8 +208,8 @@ def _pallas_forward(x, mask, kernel, bias, group_sizes, padding, interpret):
             continue
         r_c = cand + k - 1
         est = (
-            2 * r_c * w_pad8 * c_pack * itemsize  # buf + xm scratch
-            + cand * w_out * 128 * 4  # ms scratch
+            3 * r_c * w_pad8 * c_pack * itemsize  # ping/pong bufs + xm scratch
+            + cand * w_out * 128 * 4  # msum accumulator
             + 2 * cand * w_out * tc * 4  # acc + epilogue
             + k * k * c_pack * tc * itemsize  # weight tile
             + cand * w_out * (tc + 1) * itemsize  # out blocks
@@ -242,8 +281,8 @@ def _pallas_forward(x, mask, kernel, bias, group_sizes, padding, interpret):
         scratch_shapes=[
             pltpu.VMEM((r, w_pad8, c_pack), x.dtype),
             pltpu.VMEM((r, w_pad8, c_pack), x.dtype),
-            pltpu.VMEM((th * w_out, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((r + 1, w_pad8, c_pack), x.dtype),  # +1 spare row (flat-tap overrun)
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -262,6 +301,232 @@ def _pallas_forward(x, mask, kernel, bias, group_sizes, padding, interpret):
     if cout_p != cout:
         y = y[..., :cout]
     return y, new_mask
+
+
+def _kernel_small_cout(
+    packed_hbm,  # (N, H_pad, W_pad8, Cpack) HBM
+    wstack_ref,  # (k*k*8, Cpack) VMEM: per tap t, rows [8t,8t+cout) = W_t^T,
+    #              row 8t+cout = group sizes at the mask lanes; rest zero
+    b_ref,  # (8, 128) VMEM: bias per output channel, lane-broadcast
+    y_ref,  # out block: (1, 1, Cout, TH*W_pad8)  (channels-on-sublanes, flat pixels)
+    mask_out_ref,  # out block: (1, 1, 1, TH*W_pad8)
+    buf0,
+    buf1,
+    xm_t,  # scratch (Cpack, LANES_T): transposed masked rows
+    sems,
+    *,
+    k: int,
+    th: int,
+    w_out: int,
+    h_blocks: int,
+    cin: int,
+    group_sizes: Tuple[int, ...],
+    winsize: float,
+    cout: int,
+    acc_dtype,
+):
+    """Transposed-output path for tiny Cout (the U-Net RGB head).
+
+    A (pixels, 3)-shaped conv output wastes 125/128 of every MXU tile
+    and vreg. Flipping the layout — channels on sublanes, the flattened
+    pixel axis on lanes — restores full lane occupancy: ONE matmul of
+    the (k*k*8, Cpack) tap-stacked weights against the transposed rows
+    computes every tap's contribution (including the mask window sums,
+    which ride along as a dedicated weight row), and taps combine with
+    k^2 cheap lane-shifted adds.
+    """
+    nh = pl.program_id(0)
+    r = th + k - 1
+    g = len(group_sizes)
+    cpack = buf0.shape[-1]
+    w_pad8 = buf0.shape[1]
+    pw_flat = th * w_pad8
+    lanes_t = xm_t.shape[-1]
+
+    def dma_for(step, buf_ref):
+        n = step // h_blocks
+        h = step % h_blocks
+        return pltpu.make_async_copy(
+            packed_hbm.at[n, pl.ds(h * th, r)], buf_ref, sems.at[step % 2]
+        )
+
+    def _prep(buf_ref):
+        rows = buf_ref[:]
+        m_rows = rows[..., cin : cin + g]
+        mult = jnp.concatenate(
+            [
+                _broadcast_groups(m_rows, group_sizes),
+                m_rows,
+                jnp.zeros(rows.shape[:-1] + (cpack - cin - g,), rows.dtype),
+            ],
+            axis=-1,
+        )
+        flat = (rows * mult).reshape(r * w_pad8, cpack)
+        flat_t = flat.T  # (Cpack, r*W_pad8) — TPU transpose unit
+        xm_t[:] = jnp.pad(flat_t, ((0, 0), (0, lanes_t - r * w_pad8)))
+
+    @pl.when(nh == 0)
+    def _warmup():
+        dma_for(0, buf0).start()
+
+    nh_total = pl.num_programs(0)
+
+    @pl.when(nh % 2 == 0)
+    def _even():
+        dma_for(nh, buf0).wait()
+
+        @pl.when(nh + 1 < nh_total)
+        def _():
+            dma_for(nh + 1, buf1).start()
+
+        _prep(buf0)
+
+    @pl.when(nh % 2 == 1)
+    def _odd():
+        dma_for(nh, buf1).wait()
+
+        @pl.when(nh + 1 < nh_total)
+        def _():
+            dma_for(nh + 1, buf0).start()
+
+        _prep(buf1)
+
+    # one matmul: all taps' outputs AND mask sums at full lane occupancy
+    prod = jnp.dot(wstack_ref[:], xm_t[:], preferred_element_type=acc_dtype)
+
+    acc = jnp.zeros((8, pw_flat), acc_dtype)
+    t = 0
+    for dkh in range(k):
+        for dkw in range(k):
+            off = dkh * w_pad8 + dkw
+            acc += prod[8 * t : 8 * t + 8, off : off + pw_flat]
+            t += 1
+
+    msum = acc[cout : cout + 1]  # (1, PW)
+    valid = msum > 0
+    out = acc * (winsize / jnp.maximum(msum, 1.0))
+    out = out + b_ref[:, 0:1].astype(acc_dtype)
+    out = jnp.where(valid, out, jnp.zeros((), acc_dtype))
+    # store flat (channels-on-sublanes); the NHWC fix-up happens host-side
+    y_ref[0, 0] = out[:cout].astype(y_ref.dtype)
+    mask_out_ref[0, 0] = valid.astype(mask_out_ref.dtype)
+
+
+def _pallas_forward_small_cout(x, mask, kernel, bias, group_sizes, padding, interpret):
+    n, h, w, cin = x.shape
+    k, _, _, cout = kernel.shape
+    ph, pw = padding
+    h_out = h + 2 * ph - k + 1
+    w_out = w + 2 * pw - k + 1
+    g = mask.shape[-1]
+    winsize = float(k * k * cin)
+    w_pad8 = _round_up(w + 2 * pw, 8)
+    c_pack = _round_up(cin + g, 128)
+    itemsize = x.dtype.itemsize
+
+    th = min(8, h_out)
+    for cand in (32, 16, 8):
+        if h_out % cand or cand > h_out:
+            continue
+        r_c = cand + k - 1
+        lanes_c = _round_up(r_c * w_pad8 + k - 1, 128)
+        est = (
+            2 * r_c * w_pad8 * c_pack * itemsize
+            + c_pack * lanes_c * itemsize
+            + (k * k * 8) * lanes_c * 4  # prod
+            + 8 * cand * w_pad8 * 4  # acc
+        )
+        if est <= 11 * 1024 * 1024:
+            th = cand
+            break
+    r = th + k - 1
+    h_blocks = h_out // th
+    lanes_t = _round_up(r * w_pad8 + k - 1, 128)
+
+    packed = jnp.zeros((n, h + 2 * ph, w_pad8, c_pack), x.dtype)
+    packed = packed.at[:, ph : ph + h, pw : pw + w, :cin].set(x)
+    packed = packed.at[:, ph : ph + h, pw : pw + w, cin : cin + g].set(
+        mask.astype(x.dtype)
+    )
+
+    wstack = jnp.zeros((k * k * 8, c_pack), x.dtype)
+    t = 0
+    for dkh in range(k):
+        for dkw in range(k):
+            wt = kernel[dkh, dkw].T.astype(x.dtype)  # (cout, cin)
+            wstack = wstack.at[8 * t : 8 * t + cout, :cin].set(wt)
+            wstack = wstack.at[8 * t + cout, cin : cin + g].set(
+                jnp.asarray(group_sizes, x.dtype)
+            )
+            t += 1
+    bias_arr = jnp.zeros((8, 128), x.dtype)
+    if bias is not None:
+        bias_arr = bias_arr.at[:cout].set(
+            jnp.broadcast_to(bias.astype(x.dtype)[:, None], (cout, 128))
+        )
+
+    kern = functools.partial(
+        _kernel_small_cout,
+        k=k,
+        th=th,
+        w_out=w_out,
+        h_blocks=h_blocks,
+        cin=cin,
+        group_sizes=tuple(group_sizes),
+        winsize=winsize,
+        cout=cout,
+        acc_dtype=jnp.float32,
+    )
+    y_t, mask_t = pl.pallas_call(
+        kern,
+        grid=(n * h_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, cout, th * w_pad8),
+                lambda nh, hb=h_blocks: (nh // hb, nh % hb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, th * w_pad8),
+                lambda nh, hb=h_blocks: (nh // hb, nh % hb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h_blocks, cout, th * w_pad8), x.dtype),
+            jax.ShapeDtypeStruct((n, h_blocks, 1, th * w_pad8), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, w_pad8, c_pack), x.dtype),
+            pltpu.VMEM((r, w_pad8, c_pack), x.dtype),
+            pltpu.VMEM((c_pack, lanes_t), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h_out * w_pad8 * (k * k * 8) * c_pack,
+            bytes_accessed=int(
+                n * (h + 2 * ph) * w_pad8 * c_pack * itemsize * r // max(th, 1)
+                + h_out * w_pad8 * (cout + 1) * n * itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed, wstack, bias_arr)
+    # back to NHWC + crop the flat-tap garbage columns (all XLA fix-ups)
+    def unflatten(z, c):
+        z = z.reshape(n, h_blocks, c, th, w_pad8)
+        z = jnp.transpose(z, (0, 1, 3, 4, 2))  # (N, HB, TH, W_pad8, C)
+        return z.reshape(n, h_out, w_pad8, c)[:, :, :w_out]
+
+    return unflatten(y_t, cout), unflatten(mask_t, 1)
 
 
 def _supported(stride, dilation, kernel_shape, h_out):
@@ -315,6 +580,11 @@ def _forward_impl(x, mask, kernel, bias, group_sizes, stride, padding, dilation,
     if not _supported(stride, dilation, kernel.shape, h_out):
         return _partial_conv2d_xla(
             x, mask, kernel, bias, tuple(group_sizes), stride, padding, dilation
+        )
+    if kernel.shape[-1] <= 7:
+        # tiny Cout (e.g. the RGB head): transposed-output kernel
+        return _pallas_forward_small_cout(
+            x, mask, kernel, bias, group_sizes, padding, interpret
         )
     return _pallas_forward(x, mask, kernel, bias, group_sizes, padding, interpret)
 

@@ -60,19 +60,19 @@ class TextRemovalPipeline:
         return dilate_mask(text, self.dilate_radius)
 
     def inpaint(self, unet_variables, pages: jax.Array, text_mask: jax.Array) -> jax.Array:
-        """Inpaint the text region; returns the composited clean page."""
+        """Inpaint the text region; returns the composited clean page
+        (compute_dtype — cast at the consumer if fp32 is needed)."""
         valid = (1.0 - text_mask).astype(self.compute_dtype)
         pages = pages.astype(self.compute_dtype)
         holes_zeroed = pages * valid
         out = self.unet.apply(unet_variables, holes_zeroed, valid)
-        comp = valid * pages + (1.0 - valid) * out
-        return comp.astype(jnp.float32)
+        return valid * pages + (1.0 - valid) * out
 
     def run(self, seg_variables, unet_variables, pages: jax.Array):
-        """Full fused pipeline: (clean_pages, text_mask)."""
+        """Full fused pipeline: (clean_pages, text_mask) in compute_dtype."""
         text_mask = self.segment(seg_variables, pages)
         clean = self.inpaint(unet_variables, pages, text_mask)
-        return clean, text_mask.astype(jnp.float32)
+        return clean, text_mask
 
     def jitted(self, donate_pages: bool = False):
         return jax.jit(self.run, donate_argnums=(2,) if donate_pages else ())

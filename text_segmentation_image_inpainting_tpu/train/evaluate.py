@@ -1,0 +1,94 @@
+"""Evaluation CLI — the parity-gate metrics (BASELINE.json:2).
+
+    python -m text_segmentation_image_inpainting_tpu.train.evaluate \
+        --task seg|inpaint|pipeline --batches 8 \
+        [--seg-ckpt ... --unet-ckpt ...]
+
+Computes mask IoU / precision / recall (segmentation), PSNR / SSIM / L1
+(inpainting), or all of them through the fused pipeline, over a
+deterministic synthetic validation set (or ``--data-dir`` images).
+Prints one JSON line for scripting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", choices=["seg", "inpaint", "pipeline"], default="pipeline")
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--seg-ckpt", type=str, default=None)
+    p.add_argument("--unet-ckpt", type=str, default=None)
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=1234)
+    args = p.parse_args(argv)
+
+    from text_segmentation_image_inpainting_tpu.data.pipeline import make_dataset
+    from text_segmentation_image_inpainting_tpu.models.base import load_model
+    from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
+    from text_segmentation_image_inpainting_tpu.train.metrics import iou, psnr, ssim
+
+    size = (args.size, args.size)
+    pipe = TextRemovalPipeline()
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), size)
+    if args.seg_ckpt:
+        seg_vars = load_model(args.seg_ckpt, seg_vars)
+    if args.unet_ckpt:
+        unet_vars = load_model(args.unet_ckpt, unet_vars)
+
+    kind = "seg" if args.task == "seg" else "inpaint"
+    if args.task == "pipeline":
+        kind = "seg"  # pipeline eval consumes (page_with_text, gt_text_mask)
+    it = make_dataset(kind, batch_size=args.batch_size, size=size, seed=args.seed)
+
+    @jax.jit
+    def eval_seg(batch):
+        mask = pipe.segment(seg_vars, batch["image"]).astype(jnp.float32)
+        gt = batch["mask"]
+        tp = jnp.sum(mask * gt)
+        return {
+            "iou": iou(mask, gt),
+            "precision": tp / jnp.maximum(jnp.sum(mask), 1e-6),
+            "recall": tp / jnp.maximum(jnp.sum(gt), 1e-6),
+        }
+
+    @jax.jit
+    def eval_inpaint(batch):
+        comp = pipe.inpaint(unet_vars, batch["image"], 1.0 - batch["mask"]).astype(
+            jnp.float32
+        )
+        gt = batch["image"]
+        return {"psnr": psnr(comp, gt), "ssim": ssim(comp, gt),
+                "l1": jnp.mean(jnp.abs(comp - gt))}
+
+    @jax.jit
+    def eval_pipeline(batch):
+        clean, pred_mask = pipe.run(seg_vars, unet_vars, batch["image"])
+        out = {"mask_iou": iou(pred_mask.astype(jnp.float32), batch["mask"])}
+        return out
+
+    fn = {"seg": eval_seg, "inpaint": eval_inpaint, "pipeline": eval_pipeline}[args.task]
+    acc: dict = {}
+    for _ in range(args.batches):
+        batch = next(it)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        m = fn(batch)
+        for k, v in m.items():
+            acc.setdefault(k, []).append(float(v))
+    result = {k: float(np.mean(v)) for k, v in acc.items()}
+    result.update(task=args.task, batches=args.batches, batch_size=args.batch_size)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
