@@ -30,7 +30,6 @@ except Exception:  # pragma: no cover
     _HAS_GRAIN = False
 
 from text_segmentation_image_inpainting_tpu.data.text_overlay import (
-    inpainting_sample,
     segmentation_sample,
 )
 

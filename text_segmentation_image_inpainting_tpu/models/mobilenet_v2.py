@@ -11,7 +11,7 @@ XLA computation.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
-from functools import partial
+
 from typing import Any, Tuple
 
 import jax

@@ -59,6 +59,8 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--export", type=str, default=None,
+                   help="write a single-file model snapshot (msgpack) at the end")
     return p.parse_args(argv)
 
 
@@ -121,6 +123,14 @@ def main(argv=None):
     ckpt.wait()
     ckpt.close()
     prefetch.close()
+    if args.export:
+        from text_segmentation_image_inpainting_tpu.models.base import save_model
+
+        snapshot = {"params": jax.device_get(state.params)}
+        if state.batch_stats is not None:
+            snapshot["batch_stats"] = jax.device_get(state.batch_stats)
+        save_model(args.export, snapshot)
+        print("exported model snapshot to", args.export)
     print("done:", int(state.step), "steps")
     return state
 

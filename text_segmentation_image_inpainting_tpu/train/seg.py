@@ -8,8 +8,8 @@ and cross-device BN statistics — there is no pmap/pmean in sight.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
