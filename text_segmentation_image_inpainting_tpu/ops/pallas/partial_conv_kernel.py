@@ -607,7 +607,7 @@ def _bwd(group_sizes, stride, padding, dilation, interpret, res, cot):
     reference's no-grad ones-conv.
     """
     from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
-        broadcast_mask,
+        apply_mask,
         mask_window_sum,
     )
 
@@ -623,8 +623,8 @@ def _bwd(group_sizes, stride, padding, dilation, interpret, res, cot):
     scale = jnp.where(valid, winsize / jnp.maximum(msum, 1.0), 0.0)
     dacc = (g_y.astype(jnp.float32) * scale).astype(x.dtype)
 
-    mb = broadcast_mask(mask.astype(x.dtype), gs)
-    xm = x * mb
+    mask_t = mask.astype(x.dtype)
+    xm = apply_mask(x, mask_t, gs)
 
     # rows/cols the forward's floor-division ignored contribute no grad
     keff = (dilation[0] * (kh - 1) + 1, dilation[1] * (kw - 1) + 1)
@@ -647,7 +647,7 @@ def _bwd(group_sizes, stride, padding, dilation, interpret, res, cot):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    dx = dxm * mb
+    dx = apply_mask(dxm, mask_t, gs)
 
     # dW: correlation of xm with dacc (channels as batch, spatial as kernel)
     dw = (

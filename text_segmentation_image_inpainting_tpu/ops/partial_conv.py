@@ -86,6 +86,24 @@ def broadcast_mask(mask: jax.Array, group_sizes: Sequence[int]) -> jax.Array:
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def apply_mask(x: jax.Array, mask: jax.Array, group_sizes: Sequence[int]) -> jax.Array:
+    """x * broadcast_mask(mask) without materializing the broadcast.
+
+    Each channel-group slice multiplies its own 1-channel mask — XLA
+    fuses the rank-broadcast into the multiply, where an explicit
+    ``broadcast_to``+concat writes a full feature-map-sized mask to HBM
+    first (measured ~14 ms/batch of pure broadcast traffic at 512^2).
+    """
+    if len(group_sizes) == 1:
+        return x * mask
+    parts = []
+    off = 0
+    for gi, size in enumerate(group_sizes):
+        parts.append(x[..., off : off + size] * mask[..., gi : gi + 1])
+        off += size
+    return jnp.concatenate(parts, axis=-1)
+
+
 def partial_conv2d(
     x: jax.Array,
     mask: jax.Array,
@@ -140,7 +158,7 @@ def partial_conv2d(
 
 def _partial_conv2d_xla(x, mask, kernel, bias, group_sizes, stride, padding, dilation):
     kh, kw, cin, _ = kernel.shape
-    masked = x * broadcast_mask(mask.astype(x.dtype), group_sizes)
+    masked = apply_mask(x, mask.astype(x.dtype), group_sizes)
     acc_dtype = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
     # NOTE: no preferred_element_type here — conv with a widened output
     # dtype is not transposable under autodiff (jax 0.9), and TPU bf16
@@ -162,6 +180,8 @@ def _partial_conv2d_xla(x, mask, kernel, bias, group_sizes, stride, padding, dil
     out = feat * scale.astype(acc_dtype)
     if bias is not None:
         out = out + bias.astype(acc_dtype)
-    out = jnp.where(valid, out, jnp.zeros((), acc_dtype)).astype(x.dtype)
+    # cast BEFORE the where: otherwise XLA sinks the f32->bf16 convert past
+    # downstream upsamples/multiplies, doubling their HBM traffic (profiled)
+    out = jnp.where(valid, out.astype(x.dtype), jnp.zeros((), x.dtype))
     new_mask = valid.astype(x.dtype)
     return out, new_mask
