@@ -82,4 +82,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit a parseable record on failure
+        print(
+            json.dumps(
+                {
+                    "metric": "fused_segment_dilate_inpaint_512px_pages_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "pages/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        raise

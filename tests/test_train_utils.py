@@ -1,0 +1,67 @@
+"""Optimizer assembly, checkpoint manager, profiling utils."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from text_segmentation_image_inpainting_tpu.train.config import OptimizerConfig
+from text_segmentation_image_inpainting_tpu.train.state import make_optimizer
+from text_segmentation_image_inpainting_tpu.utils.profiling import checked, timed
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        OptimizerConfig(),
+        OptimizerConfig(amsgrad=True),
+        OptimizerConfig(weight_decay=1e-4),
+        OptimizerConfig(grad_clip_norm=1.0),
+        OptimizerConfig(warmup_steps=5),
+        OptimizerConfig(restart_period=10, warmup_steps=2),
+    ],
+    ids=["adam", "amsgrad", "adamw", "clip", "warmup", "sgdr"],
+)
+def test_make_optimizer_variants_step(cfg):
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    grads = {"w": jnp.full((4, 4), 0.5)}
+    updates, state = opt.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(new["w"])).all()
+    if cfg.warmup_steps and not cfg.restart_period:
+        # first warmup step has ~zero LR
+        np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-9)
+
+
+def test_grad_clip_bounds_update_norm():
+    cfg = OptimizerConfig(grad_clip_norm=1e-3, learning_rate=1.0)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.zeros((8,))}
+    state = opt.init(params)
+    huge = {"w": jnp.full((8,), 1e6)}
+    updates, _ = opt.update(huge, state, params)
+    # adam normalizes, but clip must have fired before adam without NaN
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_checked_catches_nan():
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    err, out = jax.jit(checked(bad))(jnp.asarray(-1.0))
+    with pytest.raises(Exception):
+        err.throw()
+    err2, out2 = jax.jit(checked(bad))(jnp.asarray(1.0))
+    err2.throw()  # no error
+    assert float(out2) == 0.0
+
+
+def test_timed_returns_mean_and_result():
+    f = jax.jit(lambda x: x * 2)
+    dt, out = timed(f, jnp.ones((8, 8)), iters=2, warmup=1)
+    assert dt > 0
+    assert float(out[0, 0]) == 2.0

@@ -60,9 +60,8 @@ def tolerant_merge(target: PyTree, loaded: Mapping, *, prefix: str = "") -> Tupl
         merged[key] = jnp.asarray(v, dtype=tv.dtype) if hasattr(tv, "dtype") else v
         report["used"].append(key)
     for k in tgt_flat:
-        if k not in merged or k not in set(report["used"]):
-            if k not in src_flat:
-                report["unfilled"].append(k)
+        if k not in src_flat:
+            report["unfilled"].append(k)
     return traverse_util.unflatten_dict(merged, sep="/"), report
 
 

@@ -12,13 +12,11 @@ for multi-chip streaming.
 from __future__ import annotations
 
 import dataclasses
-
-import numpy as np
-
 from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from text_segmentation_image_inpainting_tpu.models.partial_convolution import InpaintUNet
 from text_segmentation_image_inpainting_tpu.models.text_segmentation import TextSegmenter

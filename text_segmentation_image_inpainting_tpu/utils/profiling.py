@@ -31,11 +31,16 @@ def trace(log_dir: str = "logs/profile"):
 
 
 def sync(tree):
-    """Force device completion (tunnel-safe: reads one scalar per leaf)."""
-    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
-    if leaves:
-        jnp.asarray([jnp.sum(leaf.ravel()[:1].astype(jnp.float32)) for leaf in leaves]).block_until_ready()
-        float(jnp.sum(leaves[0].ravel()[:1].astype(jnp.float32)))
+    """Force device completion (tunnel-safe).
+
+    ``block_until_ready`` is unreliable on the axon-tunneled TPU, so we
+    force a scalar host read instead. One leaf suffices: all leaves of a
+    jit result come from the same executable, which completes as a unit.
+    """
+    for x in jax.tree.leaves(tree):
+        if hasattr(x, "dtype"):
+            float(jnp.sum(x.ravel()[:1].astype(jnp.float32)))
+            break
     return tree
 
 
