@@ -144,3 +144,52 @@ def test_total_parameters_matches_torch(seg_pair):
     ref, _, variables, _ = seg_pair
     n_torch = sum(p.numel() for p in ref.parameters())
     assert total_parameters(variables["params"]) == n_torch
+
+
+def test_torchvision_mobilenetv2_import(seg_pair):
+    """torchvision-layout state_dicts load into the encoder: rebuild the
+    oracle encoder weights under torchvision naming and check the import
+    matches the research-layout import exactly."""
+    from text_segmentation_image_inpainting_tpu.compat.torch_import import (
+        import_torchvision_mobilenetv2,
+    )
+    from tests.oracle.torch_ref import MOBILENETV2_CONFIG
+
+    ref, _, _, _ = seg_pair
+    sd = {k[len("encoder.") :]: v for k, v in ref.state_dict().items()
+          if k.startswith("encoder.")}
+
+    # research layout -> torchvision naming
+    tv = {}
+    for suff in ("weight", "bias", "running_mean", "running_var"):
+        for j in (0, 1):
+            k = f"stem.{j}.{suff}"
+            if k in sd:
+                tv[f"features.0.{j}.{suff}"] = sd[k]
+    idx, feat = 0, 1
+    for t, _, n, _ in MOBILENETV2_CONFIG:
+        for _ in range(n):
+            bp = f"blocks.{idx}.block"
+            cp = f"features.{feat}.conv"
+            if t == 1:
+                pairs = [(f"{bp}.0.0", f"{cp}.0.0"), (f"{bp}.0.1", f"{cp}.0.1"),
+                         (f"{bp}.1", f"{cp}.1"), (f"{bp}.2", f"{cp}.2")]
+            else:
+                pairs = [(f"{bp}.0.0", f"{cp}.0.0"), (f"{bp}.0.1", f"{cp}.0.1"),
+                         (f"{bp}.1.0", f"{cp}.1.0"), (f"{bp}.1.1", f"{cp}.1.1"),
+                         (f"{bp}.2", f"{cp}.2"), (f"{bp}.3", f"{cp}.3")]
+            for src, dst in pairs:
+                for suff in ("weight", "bias", "running_mean", "running_var"):
+                    k = f"{src}.{suff}"
+                    if k in sd:
+                        tv[f"{dst}.{suff}"] = sd[k]
+            idx += 1
+            feat += 1
+
+    got = import_torchvision_mobilenetv2(tv)
+    want = import_mobilenetv2_encoder(sd)
+    flat_g = traverse_util.flatten_dict(got, sep="/")
+    flat_w = traverse_util.flatten_dict(want, sep="/")
+    assert set(flat_g) == set(flat_w)
+    for k in flat_w:
+        np.testing.assert_array_equal(np.asarray(flat_g[k]), np.asarray(flat_w[k]), err_msg=k)

@@ -2,6 +2,7 @@ from text_segmentation_image_inpainting_tpu.compat.torch_import import (
     import_inpaint_unet,
     import_mobilenetv2_encoder,
     import_text_segmenter,
+    import_torchvision_mobilenetv2,
     import_vgg16_features,
     tolerant_import,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "import_inpaint_unet",
     "import_mobilenetv2_encoder",
     "import_text_segmenter",
+    "import_torchvision_mobilenetv2",
     "import_vgg16_features",
     "tolerant_import",
 ]

@@ -143,6 +143,48 @@ def import_inpaint_unet(sd: StateDict, *, depth: int = 8) -> dict:
     return v.done()
 
 
+def import_torchvision_mobilenetv2(sd: StateDict, *, path=()) -> dict:
+    """torchvision ``mobilenet_v2().state_dict()`` -> flax encoder variables.
+
+    The reference loads ImageNet-pretrained MobileNetV2 encoders
+    (SURVEY.md C3); torchvision's layout differs from the research-repo
+    layout handled by :func:`import_mobilenetv2_encoder`:
+
+      features.0.{0,1}                 stem conv + bn
+      features.i.conv.0.{0,1}          expand conv+bn  (dw conv+bn when t=1)
+      features.i.conv.{1,2}[.{0,1}]    dw conv+bn / project conv+bn
+      features.18.*, classifier.*      final 1x1 + head — not part of the
+                                       encoder; drop via tolerant merge.
+    """
+    v = _Vars()
+
+    def cba(flax_path, prefix):
+        w = _np(sd[prefix + ".0.weight"])
+        depthwise = w.shape[1] == 1 and w.shape[0] > 1
+        v.conv(flax_path + ("conv",), sd, prefix + ".0", bias=False, depthwise=depthwise)
+        v.bn(flax_path + ("bn",), sd, prefix + ".1")
+
+    cba(path + ("stem",), "features.0")
+    idx = 0
+    feat = 1
+    for t, _, n, _ in MOBILENETV2_CONFIG:
+        for _ in range(n):
+            fp = path + (f"block{idx}",)
+            tp = f"features.{feat}.conv"
+            if t == 1:
+                cba(fp + ("depthwise",), f"{tp}.0")
+                v.conv(fp + ("project_conv",), sd, f"{tp}.1", bias=False)
+                v.bn(fp + ("project_bn",), sd, f"{tp}.2")
+            else:
+                cba(fp + ("expand",), f"{tp}.0")
+                cba(fp + ("depthwise",), f"{tp}.1")
+                v.conv(fp + ("project_conv",), sd, f"{tp}.2", bias=False)
+                v.bn(fp + ("project_bn",), sd, f"{tp}.3")
+            idx += 1
+            feat += 1
+    return v.done()
+
+
 # torchvision vgg16.features conv indices for the first three pool stages
 _VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14)
 
