@@ -193,3 +193,51 @@ def test_torchvision_mobilenetv2_import(seg_pair):
     assert set(flat_g) == set(flat_w)
     for k in flat_w:
         np.testing.assert_array_equal(np.asarray(flat_g[k]), np.asarray(flat_w[k]), err_msg=k)
+
+
+def test_torch_export_roundtrip(seg_pair):
+    """flax -> torch export: exported weights load back into the oracle
+    and reproduce the flax model's output (full reverse-compat loop)."""
+    from text_segmentation_image_inpainting_tpu.compat.torch_export import (
+        export_text_segmenter,
+    )
+
+    ref, model, variables, x = seg_pair
+    sd = export_text_segmenter(variables)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected[:5]
+    assert all("num_batches_tracked" in m or False for m in missing) or not missing
+    ref.eval()
+    with torch.no_grad():
+        want = to_nhwc(ref(torch.from_numpy(np.moveaxis(x, -1, 1))))
+    got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_torch_export_inpaint_roundtrip(rng):
+    from text_segmentation_image_inpainting_tpu.compat.torch_export import (
+        export_inpaint_unet,
+    )
+
+    torch.manual_seed(4)
+    depth = 4
+    ref = torch_ref.InpaintUNet(depth=depth).eval()
+    model = InpaintUNet(depth=depth)
+    size = 32
+    x = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    mask = (rng.random((1, size, size, 1)) > 0.3).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.key(3), jnp.asarray(x * mask), jnp.asarray(mask))
+    sd = export_inpaint_unet(variables, depth=depth)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected
+    with torch.no_grad():
+        want = to_nhwc(ref(torch.from_numpy(np.moveaxis(x * mask, -1, 1)),
+                           torch.from_numpy(np.moveaxis(mask, -1, 1))))
+    got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x * mask), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
