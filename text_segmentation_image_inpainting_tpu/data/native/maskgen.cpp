@@ -100,7 +100,8 @@ void random_stroke_mask(
     }
   }
 
-  if (with_rects) {
+  // rectangles with probability 0.5, matching data/masks.py::random_hole_mask
+  if (with_rects && rng.uniform() < 0.5) {
     const int64_t n_rects = rng.randint(num_rects_lo, num_rects_hi);
     for (int64_t i = 0; i < n_rects; ++i) {
       const int rh = static_cast<int>(rng.uniform(rect_frac_lo, rect_frac_hi) * h);

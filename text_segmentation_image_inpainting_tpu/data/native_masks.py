@@ -4,7 +4,8 @@ Builds ``data/native/libmaskgen.so`` on first use (g++, one translation
 unit, <1s) and falls back to the pure-numpy generators in
 ``data/masks.py`` if no compiler is available. Same defaults as the
 numpy path; RNG differs (xorshift vs PCG) so masks are *statistically*
-equivalent, not bit-identical.
+equivalent, not bit-identical (both draw strokes always and rectangles
+with probability 0.5, with the same geometry parameter ranges).
 """
 
 from __future__ import annotations
@@ -83,14 +84,21 @@ def random_hole_masks(
     lib = _load()
     if lib is None:
         from text_segmentation_image_inpainting_tpu.data.masks import (
-            random_hole_mask,
+            random_rect_mask,
             random_stroke_mask,
         )
 
-        gen = random_hole_mask if with_rects else random_stroke_mask
-        return np.stack(
-            [gen(np.random.default_rng(int(s)), size) for s in seeds]
-        )
+        def one(seed):
+            r = np.random.default_rng(int(seed))
+            m = random_stroke_mask(
+                r, size, num_strokes=num_strokes, stroke_steps=stroke_steps,
+                radius=radius, step_len=step_len,
+            )
+            if with_rects and r.random() < 0.5:
+                m = m * random_rect_mask(r, size, num_rects=num_rects, rect_frac=rect_frac)
+            return m
+
+        return np.stack([one(s) for s in seeds])
     out = np.empty((len(seeds), h, w), dtype=np.float32)
     lib.random_stroke_mask_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -158,6 +158,8 @@ class DevicePrefetcher:
         self._stop = threading.Event()
 
         def _worker():
+            from queue import Full
+
             for batch in self._it:
                 if self._stop.is_set():
                     return
@@ -167,8 +169,16 @@ class DevicePrefetcher:
                     )
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
-                self._q.put(batch)
-            self._q.put(None)
+                # bounded put so close() can unblock a producer stuck on a
+                # full queue (infinite datasets never re-reach the loop check)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.2)
+                        break
+                    except Full:
+                        continue
+            if not self._stop.is_set():
+                self._q.put(None)
 
         self._thread = threading.Thread(target=_worker, daemon=True)
         self._thread.start()
@@ -184,3 +194,11 @@ class DevicePrefetcher:
 
     def close(self):
         self._stop.set()
+        # drain so a producer blocked mid-put can finish and exit, freeing
+        # the device-resident batches it pinned
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)

@@ -57,17 +57,23 @@ def main(argv=None):
     if args.images:
         from PIL import Image
 
-        files = sorted(os.listdir(args.images))[: args.pages]
+        exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+        files = sorted(
+            f for f in os.listdir(args.images) if f.lower().endswith(exts)
+        )[: args.pages]
+        if not files:
+            raise SystemExit(f"--images {args.images}: no image files found")
+        args.pages = len(files)  # fewer images than --pages is fine
+        loaded = [
+            np.asarray(
+                Image.open(os.path.join(args.images, f)).convert("RGB"), np.float32
+            )
+            / 255.0
+            for f in files
+        ]
         pages = np.stack(
-            [
-                np.asarray(
-                    Image.open(os.path.join(args.images, f)).convert("RGB"), np.float32
-                )
-                / 255.0
-                for f in files
-            ]
+            [np.asarray(preprocess_page(jnp.asarray(p[None]), size))[0] for p in loaded]
         )
-        pages = np.asarray(preprocess_page(jnp.asarray(pages), size))
         gt_masks = None
     else:
         samples = [segmentation_sample(rng, size) for _ in range(args.pages)]

@@ -44,8 +44,15 @@ class TextRemovalPipeline:
 
     threshold: float = 0.5
     dilate_radius: int = 3
-    seg: TextSegmenter = dataclasses.field(default_factory=TextSegmenter)
-    unet: InpaintUNet = dataclasses.field(default_factory=InpaintUNet)
+    # NOTE: default models must carry the compute dtype themselves — flax
+    # modules cast inputs to their own `dtype`, so an fp32-default model
+    # would silently promote the whole pipeline back to fp32
+    seg: TextSegmenter = dataclasses.field(
+        default_factory=lambda: TextSegmenter(dtype=jnp.bfloat16)
+    )
+    unet: InpaintUNet = dataclasses.field(
+        default_factory=lambda: InpaintUNet(dtype=jnp.bfloat16)
+    )
     compute_dtype: Any = jnp.bfloat16
 
     def segment(self, seg_variables, pages: jax.Array) -> jax.Array:

@@ -48,7 +48,19 @@ def main(argv=None):
     kind = "seg" if args.task == "seg" else "inpaint"
     if args.task == "pipeline":
         kind = "seg"  # pipeline eval consumes (page_with_text, gt_text_mask)
-    it = make_dataset(kind, batch_size=args.batch_size, size=size, seed=args.seed)
+    paths = None
+    if args.data_dir:
+        import glob as _glob
+
+        paths = sorted(
+            _glob.glob(f"{args.data_dir}/**/*.png", recursive=True)
+            + _glob.glob(f"{args.data_dir}/**/*.jpg", recursive=True)
+        )
+        if not paths:
+            raise SystemExit(f"--data-dir {args.data_dir}: no .png/.jpg images found")
+    it = make_dataset(
+        kind, batch_size=args.batch_size, size=size, seed=args.seed, paths=paths
+    )
 
     @jax.jit
     def eval_seg(batch):

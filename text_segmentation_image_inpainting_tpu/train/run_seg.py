@@ -110,9 +110,12 @@ def main(argv=None):
     logger = MetricLogger("seg")
 
     t0 = time.time()
-    for step in range(int(state.step), args.steps):
+    first_step = int(state.step)
+    for step in range(first_step, args.steps):
         batch = next(prefetch)
         state, metrics = train_step(state, batch)
+        if step == first_step:
+            t0 = time.time()  # exclude jit compile from the first rate
         if (step + 1) % cfg.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m.update(eval_step(state, batch))

@@ -41,6 +41,8 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         lr = cfg.learning_rate
     if cfg.amsgrad:
         opt = optax.amsgrad(lr, b1=cfg.beta1, b2=cfg.beta2)
+        if cfg.weight_decay:
+            opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
     elif cfg.weight_decay:
         opt = optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay)
     else:
