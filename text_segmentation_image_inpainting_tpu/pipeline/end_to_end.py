@@ -55,23 +55,35 @@ class TextRemovalPipeline:
     )
     compute_dtype: Any = jnp.bfloat16
 
-    def segment(self, seg_variables, pages: jax.Array) -> jax.Array:
-        """pages (N,H,W,3) in [0,1] -> dilated binary text mask (N,H,W,1)."""
+    def _segment2d(self, seg_variables, pages: jax.Array) -> jax.Array:
+        """pages (N,H,W,3) in [0,1] -> dilated VALID mask (N,H,W), squeezed.
+
+        All mask glue runs on the squeezed (N,H,W) layout — W on lanes.
+        (N,H,W,1) tensors at 512^2 use 1/128 of the VPU and force layout
+        copies between stages (~15 ms/batch, profiled); the channel dim
+        is materialized exactly once, at the partial-conv boundary.
+        sigmoid(x) > t  <=>  x > logit(t) skips the transcendental.
+        """
         logits = self.seg.apply(seg_variables, pages.astype(self.compute_dtype))
-        # sigmoid(x) > t  <=>  x > logit(t): skips the transcendental; the
-        # compare + dilation run on the squeezed (N,H,W) layout (W on
-        # lanes) — (N,H,W,1) tensors use 1/128 of the VPU (profiled)
         logit_t = float(np.log(self.threshold / (1.0 - self.threshold)))
         text2d = (logits[..., 0] > jnp.asarray(logit_t, logits.dtype)).astype(
             self.compute_dtype
         )
-        text2d = dilate_mask(text2d[..., None], self.dilate_radius)
-        return text2d
+        text2d = dilate_mask(text2d, self.dilate_radius)
+        return 1.0 - text2d  # valid = not-text
+
+    def segment(self, seg_variables, pages: jax.Array) -> jax.Array:
+        """pages (N,H,W,3) in [0,1] -> dilated binary text mask (N,H,W,1)."""
+        return (1.0 - self._segment2d(seg_variables, pages))[..., None]
 
     def inpaint(self, unet_variables, pages: jax.Array, text_mask: jax.Array) -> jax.Array:
         """Inpaint the text region; returns the composited clean page
         (compute_dtype — cast at the consumer if fp32 is needed)."""
-        valid = (1.0 - text_mask).astype(self.compute_dtype)
+        valid2d = 1.0 - text_mask[..., 0].astype(self.compute_dtype)
+        return self._inpaint2d(unet_variables, pages, valid2d)
+
+    def _inpaint2d(self, unet_variables, pages: jax.Array, valid2d: jax.Array) -> jax.Array:
+        valid = valid2d[..., None]  # single (N,H,W,1) materialization
         pages = pages.astype(self.compute_dtype)
         holes_zeroed = pages * valid
         out = self.unet.apply(unet_variables, holes_zeroed, valid)
@@ -79,9 +91,9 @@ class TextRemovalPipeline:
 
     def run(self, seg_variables, unet_variables, pages: jax.Array):
         """Full fused pipeline: (clean_pages, text_mask) in compute_dtype."""
-        text_mask = self.segment(seg_variables, pages)
-        clean = self.inpaint(unet_variables, pages, text_mask)
-        return clean, text_mask
+        valid2d = self._segment2d(seg_variables, pages)
+        clean = self._inpaint2d(unet_variables, pages, valid2d)
+        return clean, (1.0 - valid2d)[..., None]
 
     def jitted(self, donate_pages: bool = False):
         return jax.jit(self.run, donate_argnums=(2,) if donate_pages else ())
