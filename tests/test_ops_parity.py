@@ -109,3 +109,19 @@ def test_dilate_mask_matches_maxpool(rng):
     np.testing.assert_array_equal(np.asarray(got), nhwc(want))
     # idempotent on all-ones, no-op on radius 0
     np.testing.assert_array_equal(np.asarray(dilate_mask(jnp.asarray(mask), 0)), mask)
+
+
+def test_erode_mask_matches_minpool(rng):
+    from text_segmentation_image_inpainting_tpu.ops.morphology import erode_mask
+
+    mask = (rng.random((1, 16, 16, 1)) > 0.3).astype(np.float32)
+    got = erode_mask(jnp.asarray(mask), radius=1)
+    want = -F.max_pool2d(-nchw(mask), kernel_size=3, stride=1, padding=1)
+    np.testing.assert_array_equal(np.asarray(got), nhwc(want))
+
+
+def test_textsegament_alias():
+    """Reference API spelling: TextSegament is the same class."""
+    from text_segmentation_image_inpainting_tpu.models import TextSegament, TextSegmenter
+
+    assert TextSegament is TextSegmenter
