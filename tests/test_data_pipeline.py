@@ -80,3 +80,40 @@ def test_make_dataset_batches_and_prefetcher():
     assert isinstance(out["image"], jax.Array)
     assert out["image"].shape == (2, 64, 64, 3)
     pf.close()
+
+
+def test_prefetcher_propagates_worker_exception():
+    """A dead worker (e.g. corrupt image raising in decode) must surface
+    the exception in __next__, not deadlock the consumer."""
+    import pytest
+
+    def bad_iter():
+        yield {"x": np.zeros((2, 4, 4, 3), np.float32)}
+        raise ValueError("corrupt image")
+
+    pf = DevicePrefetcher(bad_iter())
+    next(pf)  # first batch is fine
+    with pytest.raises(ValueError, match="corrupt image"):
+        next(pf)
+    pf.close()
+
+
+def test_load_base_aspect_preserving(tmp_path):
+    """Undersized disk images are upscaled aspect-preserving (no stretch)
+    before the random crop."""
+    from PIL import Image
+
+    # 100x20 wide strip with a horizontal gradient; a distorting resize
+    # to 64x64 would change the gradient's pixel pitch non-uniformly
+    arr = np.zeros((20, 100, 3), np.uint8)
+    arr[..., 0] = np.linspace(0, 255, 100, dtype=np.uint8)[None, :]
+    p = tmp_path / "strip.png"
+    Image.fromarray(arr).save(p)
+    src = PageSource(kind="seg", size=(64, 64), seed=0, paths=[str(p)])
+    base = src._load_base(np.random.default_rng(0))
+    assert base.shape == (64, 64, 3)
+    # aspect-preserving x-scale is 320/100 = 3.2 (driven by height 20->64),
+    # so a 64-wide crop spans <= 64/3.2 = 20 source columns => the red
+    # gradient inside the crop spans at most ~20/100 of the full range
+    spread = base[..., 0].max() - base[..., 0].min()
+    assert spread <= 0.25, spread

@@ -209,7 +209,7 @@ def test_torch_export_roundtrip(seg_pair):
         strict=False,
     )
     assert not unexpected, unexpected[:5]
-    assert all("num_batches_tracked" in m or False for m in missing) or not missing
+    assert all("num_batches_tracked" in m for m in missing), missing[:5]
     ref.eval()
     with torch.no_grad():
         want = to_nhwc(ref(torch.from_numpy(np.moveaxis(x, -1, 1))))

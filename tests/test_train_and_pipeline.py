@@ -175,3 +175,61 @@ def test_metrics_sanity(rng):
     m = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32))
     assert abs(float(iou(m, m)) - 1.0) < 1e-5
     assert float(iou(m, 1 - m)) < 1e-5
+
+
+def test_pipeline_arbitrary_page_size(rng):
+    """Non-multiple page sizes run through the fused pipeline via
+    edge-pad + crop (the U-Net asserts divisibility by 2**depth)."""
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(width_mult=0.35, dtype=jnp.float32),
+        unet=InpaintUNet(depth=3, dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+        dilate_radius=1,
+    )
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    h, w = 37, 45  # deliberately not divisible by 2**3
+    pages = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+    clean, mask = jax.jit(pipe.run)(seg_vars, unet_vars, pages)
+    assert clean.shape == (1, h, w, 3) and mask.shape == (1, h, w, 1)
+    assert np.isfinite(np.asarray(clean)).all()
+    m = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(clean) * (1 - m), np.asarray(pages) * (1 - m), atol=1e-6
+    )
+    # inpaint() path with an external mask at odd size
+    out = jax.jit(pipe.inpaint)(unet_vars, pages, mask)
+    assert out.shape == (1, h, w, 3)
+    # segment() path
+    sm = jax.jit(lambda v, p: pipe.segment(v, p, dilate=False))(seg_vars, pages)
+    assert sm.shape == (1, h, w, 1)
+
+
+def test_inpaint_freeze_enc_bn_selective(rng):
+    """freeze_bn fine-tune: encoder BN running stats stay fixed while
+    decoder BN stats keep updating (Liu et al. phase 2)."""
+    cfg = InpaintTrainConfig(
+        image_size=(SIZE, SIZE), depth=3, freeze_bn=True,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        loss=InpaintLossConfig(perceptual=0.0, style=0.0),
+    )
+    model = InpaintUNet(depth=cfg.depth)
+    batch = make_inpaint_batch(rng)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), batch["image"] * batch["mask"], batch["mask"]
+    )
+    vgg = VGG16Features()
+    vgg_vars = jax.jit(vgg.init)(jax.random.key(1), batch["image"][:1])
+    state = create_train_state(variables, model.apply, cfg.optimizer)
+    step = jax.jit(make_inpaint_train_step(model, cfg, vgg_vars))
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    state, _ = step(state, batch)
+    after = jax.tree.map(np.asarray, state.batch_stats)
+    enc_keys = [k for k in before if k.startswith("enc")]
+    dec_keys = [k for k in before if k.startswith("dec")]
+    assert enc_keys and dec_keys
+    for k in enc_keys:
+        np.testing.assert_array_equal(before[k]["mean"], after[k]["mean"])
+    changed = any(
+        not np.array_equal(before[k]["mean"], after[k]["mean"]) for k in dec_keys
+    )
+    assert changed, "decoder BN stats must keep updating under freeze_bn"

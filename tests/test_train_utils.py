@@ -65,3 +65,18 @@ def test_timed_returns_mean_and_result():
     dt, out = timed(f, jnp.ones((8, 8)), iters=2, warmup=1)
     assert dt > 0
     assert float(out[0, 0]) == 2.0
+
+
+def test_tolerant_merge_warns_on_zero_match(caplog):
+    """A checkpoint whose layout doesn't match at all must warn loudly
+    (it would otherwise silently return the random-init template)."""
+    import logging
+
+    from text_segmentation_image_inpainting_tpu.models.base import tolerant_merge
+
+    template = {"params": {"conv": {"kernel": np.zeros((3, 3, 1, 4), np.float32)}}}
+    loaded = {"totally": {"different": np.zeros((5,), np.float32)}}
+    with caplog.at_level(logging.WARNING):
+        merged, report = tolerant_merge(template, loaded)
+    assert not report["used"]
+    assert any("NO keys matched" in r.message for r in caplog.records)

@@ -10,6 +10,17 @@ are replicated via ``models.base.tolerant_merge``.
 Works on plain ``{name: ndarray}`` dicts — torch is only needed to
 ``torch.load`` the file, so this module stays importable without torch.
 
+Layout-provenance caveat: the *torchvision* importers
+(:func:`import_torchvision_mobilenetv2`, :func:`import_vgg16_features`)
+follow torchvision's published, externally-verifiable state_dict layout.
+The *research-repo* importers (:func:`import_text_segmenter`,
+:func:`import_inpaint_unet`, :func:`import_mobilenetv2_encoder`) are
+round-trip-verified against this repo's torch oracle
+(``tests/oracle/torch_ref.py``), a reconstruction — ``/root/reference``
+was empty, so the actual upstream key names could not be checked.  If
+the upstream's real checkpoints use different names, load them through
+``tolerant_import`` (which now reports unmatched keys loudly) and remap.
+
 Layout conversions:
   conv weight  OIHW -> HWIO   (transpose 2,3,1,0)
   depthwise conv (groups=C): torch (C,1,kh,kw) -> flax (kh,kw,1,C)
@@ -198,11 +209,23 @@ def import_vgg16_features(sd: StateDict, *, num_convs: int = 7, prefix: str = "f
     return v.done()
 
 
-def tolerant_import(template: dict, imported: dict) -> dict:
+def tolerant_import(template: dict, imported: dict, *, return_report: bool = False):
     """Merge imported variables into a model's init template, keeping only
-    shape-matched entries (reference BaseModule.load semantics)."""
+    shape-matched entries (reference BaseModule.load semantics).
+
+    Logs a summary so a totally-mismatched layout (0 keys used -> random
+    init) never passes silently; pass ``return_report=True`` to also get
+    the tolerant_merge report dict.
+    """
+    import logging
+
     merged, report = tolerant_merge(template, imported)
-    return merged
+    logging.getLogger(__name__).info(
+        "tolerant_import: used %d, skipped %d (missing) / %d (shape), unfilled %d",
+        len(report["used"]), len(report["skipped_missing"]),
+        len(report["skipped_shape"]), len(report["unfilled"]),
+    )
+    return (merged, report) if return_report else merged
 
 
 def load_torch_file(path: str) -> Dict[str, Arr]:

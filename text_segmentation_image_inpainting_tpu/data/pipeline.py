@@ -60,11 +60,16 @@ class PageSource:
 
         p = self.paths[int(rng.integers(0, len(self.paths)))]
         img = Image.open(p).convert("RGB")
-        # random crop to self.size (pad if needed)
+        # random crop to self.size; undersized images get an
+        # aspect-preserving upscale (never a distorting stretch)
         w, h = img.size
         th, tw = self.size
         if w < tw or h < th:
-            img = img.resize((max(w, tw), max(h, th)))
+            scale = max(tw / w, th / h)
+            img = img.resize(
+                (max(tw, round(w * scale)), max(th, round(h * scale))),
+                Image.BILINEAR,
+            )
             w, h = img.size
         x0 = int(rng.integers(0, w - tw + 1))
         y0 = int(rng.integers(0, h - th + 1))
@@ -160,23 +165,34 @@ class DevicePrefetcher:
         def _worker():
             from queue import Full
 
-            for batch in self._it:
-                if self._stop.is_set():
-                    return
-                if self._sharding is not None:
-                    batch = jax.tree.map(
-                        lambda x: jax.device_put(x, self._sharding), batch
-                    )
-                else:
-                    batch = jax.tree.map(jax.device_put, batch)
+            def _put(item):
                 # bounded put so close() can unblock a producer stuck on a
                 # full queue (infinite datasets never re-reach the loop check)
                 while not self._stop.is_set():
                     try:
-                        self._q.put(batch, timeout=0.2)
-                        break
+                        self._q.put(item, timeout=0.2)
+                        return True
                     except Full:
                         continue
+                return False
+
+            try:
+                for batch in self._it:
+                    if self._stop.is_set():
+                        return
+                    if self._sharding is not None:
+                        batch = jax.tree.map(
+                            lambda x: jax.device_put(x, self._sharding), batch
+                        )
+                    else:
+                        batch = jax.tree.map(jax.device_put, batch)
+                    if not _put(batch):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised in __next__
+                # a dead worker (e.g. corrupt image raising in PIL) must not
+                # leave the consumer blocked forever on Queue.get()
+                _put(e)
+                return
             if not self._stop.is_set():
                 self._q.put(None)
 
@@ -190,6 +206,8 @@ class DevicePrefetcher:
         item = self._q.get()
         if item is None:
             raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
         return item
 
     def close(self):

@@ -62,6 +62,21 @@ def tolerant_merge(target: PyTree, loaded: Mapping, *, prefix: str = "") -> Tupl
     for k in tgt_flat:
         if k not in src_flat:
             report["unfilled"].append(k)
+    # A checkpoint whose key layout doesn't match at all would otherwise
+    # silently return the (random-init) template — make that loud.
+    if src_flat and not report["used"]:
+        logger.warning(
+            "tolerant_merge: NO keys matched (%d loaded, %d skipped-missing) — "
+            "the merged tree is the template unchanged; wrong checkpoint layout?",
+            len(src_flat), len(report["skipped_missing"]),
+        )
+    elif src_flat and len(report["used"]) < len(src_flat) // 2:
+        logger.warning(
+            "tolerant_merge: only %d/%d loaded keys matched "
+            "(%d skipped-missing, %d skipped-shape)",
+            len(report["used"]), len(src_flat),
+            len(report["skipped_missing"]), len(report["skipped_shape"]),
+        )
     return traverse_util.unflatten_dict(merged, sep="/"), report
 
 

@@ -96,13 +96,17 @@ class InpaintUNet(nn.Module):
     )
 
     @nn.compact
-    def __call__(self, x, mask, *, train: bool = False):
+    def __call__(self, x, mask, *, train: bool = False, freeze_enc_bn: bool = False):
+        """``freeze_enc_bn=True`` runs *encoder* BatchNorms in
+        running-average mode while decoder BNs keep training — the Liu
+        et al. phase-2 fine-tune (SURVEY.md C11: only encoder BN is
+        frozen; decoder BN continues updating)."""
         assert 3 <= self.depth <= 8
         assert x.shape[1] % (1 << self.depth) == 0 and x.shape[2] % (1 << self.depth) == 0, (
             f"spatial dims {x.shape[1:3]} must be divisible by 2**depth={1 << self.depth}"
         )
-        bn = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        bn = lambda name, frozen=False: nn.BatchNorm(  # noqa: E731
+            use_running_average=(not train) or frozen, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
 
@@ -114,7 +118,7 @@ class InpaintUNet(nn.Module):
                 dtype=self.dtype, name=f"enc{i}",
             )(f, m)
             if use_bn:
-                f = bn(f"enc{i}_bn")(f)
+                f = bn(f"enc{i}_bn", frozen=freeze_enc_bn)(f)
             f = nn.relu(f)
             skips.append((f, m))
 

@@ -32,6 +32,25 @@ def preprocess_page(image: jax.Array, size: Tuple[int, int] = (512, 512)) -> jax
     return resize_bilinear(x, size)
 
 
+def pad_to_multiple(pages: jax.Array, multiple: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Edge-pad (N,H,W,C) bottom/right so H,W are multiples of ``multiple``.
+
+    Returns (padded, (H, W)) — the original spatial size for cropping the
+    output back. Edge padding keeps the pad region statistically page-like
+    (a constant fill would bleed into the partial convs at the border).
+    Static shapes only: the pad amount is resolved at trace time.
+    """
+    h, w = pages.shape[1], pages.shape[2]
+    hp = -(-h // multiple) * multiple
+    wp = -(-w // multiple) * multiple
+    if (hp, wp) == (h, w):
+        return pages, (h, w)
+    return (
+        jnp.pad(pages, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge"),
+        (h, w),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class TextRemovalPipeline:
     """Two-stage text removal, end-to-end on device.
@@ -55,7 +74,7 @@ class TextRemovalPipeline:
     )
     compute_dtype: Any = jnp.bfloat16
 
-    def _segment2d(self, seg_variables, pages: jax.Array) -> jax.Array:
+    def _segment2d(self, seg_variables, pages: jax.Array, *, dilate: bool = True) -> jax.Array:
         """pages (N,H,W,3) in [0,1] -> dilated VALID mask (N,H,W), squeezed.
 
         All mask glue runs on the squeezed (N,H,W) layout — W on lanes.
@@ -69,18 +88,35 @@ class TextRemovalPipeline:
         text2d = (logits[..., 0] > jnp.asarray(logit_t, logits.dtype)).astype(
             self.compute_dtype
         )
-        text2d = dilate_mask(text2d, self.dilate_radius)
+        if dilate:
+            text2d = dilate_mask(text2d, self.dilate_radius)
         return 1.0 - text2d  # valid = not-text
 
-    def segment(self, seg_variables, pages: jax.Array) -> jax.Array:
-        """pages (N,H,W,3) in [0,1] -> dilated binary text mask (N,H,W,1)."""
-        return (1.0 - self._segment2d(seg_variables, pages))[..., None]
+    def segment(self, seg_variables, pages: jax.Array, *, dilate: bool = True) -> jax.Array:
+        """pages (N,H,W,3) in [0,1] -> binary text mask (N,H,W,1).
+
+        ``dilate=True`` (default) grows the mask by ``dilate_radius`` for
+        the inpainting hand-off; pass ``dilate=False`` when scoring
+        IoU/precision against an undilated ground-truth text mask
+        (dilation systematically deflates those metrics).
+        """
+        pages, (h, w) = pad_to_multiple(pages, 1 << self.unet.depth)
+        return (1.0 - self._segment2d(seg_variables, pages, dilate=dilate))[:, :h, :w, None]
 
     def inpaint(self, unet_variables, pages: jax.Array, text_mask: jax.Array) -> jax.Array:
         """Inpaint the text region; returns the composited clean page
-        (compute_dtype — cast at the consumer if fp32 is needed)."""
+        (compute_dtype — cast at the consumer if fp32 is needed).
+        Arbitrary sizes are edge-padded to the U-Net multiple and cropped back."""
+        pages, (h, w) = pad_to_multiple(pages, 1 << self.unet.depth)
+        text_mask, _ = pad_to_multiple(text_mask, 1 << self.unet.depth)
+        # pad region is all-valid: edge-pad replicates border values, and
+        # pad_to_multiple pads the *text* mask with its edge too — force
+        # the pad strip to text=0 (valid) instead
         valid2d = 1.0 - text_mask[..., 0].astype(self.compute_dtype)
-        return self._inpaint2d(unet_variables, pages, valid2d)
+        if (h, w) != pages.shape[1:3]:
+            keep = jnp.zeros(pages.shape[1:3], valid2d.dtype).at[:h, :w].set(1.0)
+            valid2d = jnp.maximum(valid2d, 1.0 - keep)
+        return self._inpaint2d(unet_variables, pages, valid2d)[:, :h, :w]
 
     def _inpaint2d(self, unet_variables, pages: jax.Array, valid2d: jax.Array) -> jax.Array:
         valid = valid2d[..., None]  # single (N,H,W,1) materialization
@@ -90,10 +126,17 @@ class TextRemovalPipeline:
         return valid * pages + (1.0 - valid) * out
 
     def run(self, seg_variables, unet_variables, pages: jax.Array):
-        """Full fused pipeline: (clean_pages, text_mask) in compute_dtype."""
+        """Full fused pipeline: (clean_pages, text_mask) in compute_dtype.
+
+        Arbitrary page sizes are handled by edge-padding to the U-Net's
+        ``2**depth`` multiple (which also covers the encoder's stride-32
+        taps) and cropping the outputs back — all inside the one jitted
+        program, shapes static per (H, W).
+        """
+        pages, (h, w) = pad_to_multiple(pages, 1 << self.unet.depth)
         valid2d = self._segment2d(seg_variables, pages)
         clean = self._inpaint2d(unet_variables, pages, valid2d)
-        return clean, (1.0 - valid2d)[..., None]
+        return clean[:, :h, :w], (1.0 - valid2d)[:, :h, :w, None]
 
     def jitted(self, donate_pages: bool = False):
         return jax.jit(self.run, donate_argnums=(2,) if donate_pages else ())

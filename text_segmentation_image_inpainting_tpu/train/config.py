@@ -22,6 +22,9 @@ class OptimizerConfig:
     # cosine warm-restart period (0 = constant LR); reference README
     # mentions LR warm-restart scheduling [R-low]
     restart_period: int = 0
+    # number of warm-restart cycles; schedule holds end_value after the
+    # last cycle (size it to cover the planned step budget)
+    restart_cycles: int = 50
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,7 +50,9 @@ class InpaintTrainConfig:
     batch_size: int = 8
     depth: int = 8
     loss: InpaintLossConfig = InpaintLossConfig()
-    freeze_bn: bool = False  # paper's phase-2 BN-freeze fine-tune
+    # paper's phase-2 fine-tune: freeze ENCODER BN only (running-average
+    # mode); decoder BN keeps training (Liu et al. 2018)
+    freeze_bn: bool = False
     optimizer: OptimizerConfig = OptimizerConfig()
     bf16_compute: bool = True
     pconv_impl: str = "xla"  # 'xla' | 'pallas'

@@ -64,7 +64,9 @@ def main(argv=None):
 
     @jax.jit
     def eval_seg(batch):
-        mask = pipe.segment(seg_vars, batch["image"]).astype(jnp.float32)
+        # score the raw thresholded mask — dilation (used only for the
+        # inpainting hand-off) would systematically deflate IoU/precision
+        mask = pipe.segment(seg_vars, batch["image"], dilate=False).astype(jnp.float32)
         gt = batch["mask"]
         tp = jnp.sum(mask * gt)
         return {
@@ -84,9 +86,11 @@ def main(argv=None):
 
     @jax.jit
     def eval_pipeline(batch):
-        clean, pred_mask = pipe.run(seg_vars, unet_vars, batch["image"])
-        out = {"mask_iou": iou(pred_mask.astype(jnp.float32), batch["mask"])}
-        return out
+        clean, _ = pipe.run(seg_vars, unet_vars, batch["image"])
+        # IoU on the undilated mask (same rationale as eval_seg); the
+        # pipeline itself still inpaints with the dilated hand-off mask
+        raw_mask = pipe.segment(seg_vars, batch["image"], dilate=False)
+        return {"mask_iou": iou(raw_mask.astype(jnp.float32), batch["mask"])}
 
     fn = {"seg": eval_seg, "inpaint": eval_inpaint, "pipeline": eval_pipeline}[args.task]
     acc: dict = {}

@@ -37,7 +37,12 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
             variables["batch_stats"] = batch_stats
 
         def fwd(v, x, m):
-            return model.apply(v, x, m, train=not cfg.freeze_bn, mutable=["batch_stats"])
+            # cfg.freeze_bn = Liu et al. phase-2: ONLY encoder BN frozen
+            # (running-average mode); decoder BN keeps training
+            return model.apply(
+                v, x, m, train=True, freeze_enc_bn=cfg.freeze_bn,
+                mutable=["batch_stats"],
+            )
 
         out, updates = jax.checkpoint(fwd)(variables, holes_zeroed, mask)
         loss, terms = inpainting_loss(
@@ -51,7 +56,9 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
             state.params, state.batch_stats, batch
         )
         state = state.apply_gradients(grads=grads)
-        if not cfg.freeze_bn and updates.get("batch_stats") is not None:
+        # decoder BN stats still update under freeze_bn (encoder stats
+        # are untouched by flax when use_running_average=True)
+        if updates.get("batch_stats") is not None:
             state = state.replace(batch_stats=updates["batch_stats"])
         return state, terms
 

@@ -33,7 +33,7 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
                     end_value=cfg.learning_rate * 0.01,
                 )
             ]
-            * 50
+            * cfg.restart_cycles
         )
     elif cfg.warmup_steps > 0:
         lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
