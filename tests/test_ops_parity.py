@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from text_segmentation_image_inpainting_tpu.ops import (
@@ -125,3 +126,117 @@ def test_textsegament_alias():
     from text_segmentation_image_inpainting_tpu.models import TextSegament, TextSegmenter
 
     assert TextSegament is TextSegmenter
+
+
+class TestFusedUp2AndS2D:
+    """The decoder's fused half-res phase conv and the stride-2 s2d stem
+    must match the literal composition exactly (same params)."""
+
+    def _up2_case(self, rng, N=2, Hh=8, Wh=6, C_lo=5, C_skip=7, Cout=4):
+        from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+            partial_conv2d,
+        )
+        from text_segmentation_image_inpainting_tpu.ops.resize import upsample_nearest
+
+        f_lo = jnp.asarray(rng.standard_normal((N, Hh, Wh, C_lo)).astype(np.float32))
+        m_lo = jnp.asarray((rng.random((N, Hh, Wh, 1)) > 0.4).astype(np.float32))
+        sf = jnp.asarray(rng.standard_normal((N, 2 * Hh, 2 * Wh, C_skip)).astype(np.float32))
+        sm = jnp.asarray((rng.random((N, 2 * Hh, 2 * Wh, 1)) > 0.4).astype(np.float32))
+        W = jnp.asarray(rng.standard_normal((3, 3, C_lo + C_skip, Cout)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.standard_normal((Cout,)).astype(np.float32))
+
+        def ref(W):
+            cf = jnp.concatenate([upsample_nearest(f_lo, 2), sf], axis=-1)
+            cm = jnp.concatenate([upsample_nearest(m_lo, 2), sm], axis=-1)
+            return partial_conv2d(cf, cm, W, b, group_sizes=(C_lo, C_skip), padding=1)
+
+        return f_lo, m_lo, sf, sm, W, b, ref
+
+    def test_up2_forward_and_mask(self, rng):
+        from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+            partial_conv2d_up2,
+        )
+
+        f_lo, m_lo, sf, sm, W, b, ref = self._up2_case(rng)
+        want_y, want_m = jax.jit(ref)(W)
+        got_y, got_m = jax.jit(lambda W: partial_conv2d_up2(f_lo, m_lo, sf, sm, W, b))(W)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+
+    def test_up2_s2d_io_variant(self, rng):
+        from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+            depth_to_space,
+            partial_conv2d_up2,
+            space_to_depth,
+        )
+
+        f_lo, m_lo, sf, sm, W, b, ref = self._up2_case(rng)
+        want_y, want_m = jax.jit(ref)(W)
+        got_y, got_m = jax.jit(
+            lambda W: partial_conv2d_up2(
+                f_lo, m_lo, space_to_depth(sf), space_to_depth(sm), W, b,
+                skip_s2d=True, out_s2d=True,
+            )
+        )(W)
+        np.testing.assert_allclose(
+            np.asarray(depth_to_space(got_y)), np.asarray(want_y), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(depth_to_space(got_m)), np.asarray(want_m))
+
+    def test_up2_weight_gradient(self, rng):
+        from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+            partial_conv2d_up2,
+        )
+
+        f_lo, m_lo, sf, sm, W, b, ref = self._up2_case(rng)
+        g_ref = jax.grad(lambda W: jnp.sum(jnp.sin(ref(W)[0])))(W)
+        g_new = jax.grad(
+            lambda W: jnp.sum(jnp.sin(partial_conv2d_up2(f_lo, m_lo, sf, sm, W, b)[0]))
+        )(W)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("k", [3, 5, 7])
+    def test_s2d_stride2_stem(self, rng, k):
+        from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+            partial_conv2d,
+            partial_conv2d_s2d,
+            space_to_depth,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 12, 3)).astype(np.float32))
+        m = jnp.asarray((rng.random((2, 16, 12, 1)) > 0.4).astype(np.float32))
+        W = jnp.asarray(rng.standard_normal((k, k, 3, 8)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+        want_y, want_m = jax.jit(
+            lambda x, m: partial_conv2d(x, m, W, b, stride=2, padding=k // 2)
+        )(x, m)
+        got_y, got_m = jax.jit(lambda x, m: partial_conv2d_s2d(x, m, W, b))(x, m)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+        got_y2, _ = jax.jit(
+            lambda x, m: partial_conv2d_s2d(x, m, W, b, input_s2d=True)
+        )(space_to_depth(x), space_to_depth(m))
+        np.testing.assert_allclose(np.asarray(got_y2), np.asarray(want_y), rtol=1e-5, atol=1e-5)
+
+    def test_unet_fused_unfused_and_s2d_io_agree(self, rng):
+        from text_segmentation_image_inpainting_tpu.models import InpaintUNet
+        from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+            depth_to_space,
+            space_to_depth,
+        )
+
+        size = 32
+        x = jnp.asarray(rng.standard_normal((2, size, size, 3)).astype(np.float32))
+        mask = jnp.asarray((rng.random((2, size, size, 1)) > 0.3).astype(np.float32))
+        fused = InpaintUNet(depth=4, fuse_min_hw=0)  # force fusion at 32^2
+        unfused = InpaintUNet(depth=4, fuse_up=False)
+        v = jax.jit(fused.init)(jax.random.key(0), x * mask, mask)
+        a = jax.jit(fused.apply)(v, x * mask, mask)
+        b = jax.jit(unfused.apply)(v, x * mask, mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+        c = depth_to_space(
+            jax.jit(lambda v, p, m: fused.apply(v, p, m, io_s2d=True))(
+                v, space_to_depth(x), space_to_depth(mask)
+            )
+        )
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4)

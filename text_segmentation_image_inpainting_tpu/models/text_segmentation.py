@@ -58,10 +58,15 @@ class DilatedDecoder(nn.Module):
             jnp.concatenate([x, skip2], axis=-1), train=train
         )
 
-        x = resize_bilinear(x, (s2.shape[1] * 2, s2.shape[2] * 2))
-        return nn.Conv(
+        # the 1x1 head commutes with bilinear resize exactly (both linear;
+        # bilinear weights sum to 1 so the bias passes through unchanged) —
+        # applying it BEFORE the final x2 upsample resizes 1 channel
+        # instead of mid//4, cutting the full-res traffic ~32x (profiled
+        # ~4 ms/batch at 512^2 in round 1)
+        x = nn.Conv(
             1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="head"
         )(x)
+        return resize_bilinear(x, (s2.shape[1] * 2, s2.shape[2] * 2))
 
 
 class TextSegmenter(nn.Module):

@@ -119,8 +119,32 @@ class TextRemovalPipeline:
         return self._inpaint2d(unet_variables, pages, valid2d)[:, :h, :w]
 
     def _inpaint2d(self, unet_variables, pages: jax.Array, valid2d: jax.Array) -> jax.Array:
-        valid = valid2d[..., None]  # single (N,H,W,1) materialization
         pages = pages.astype(self.compute_dtype)
+        if self.unet.fuse_up and self.unet.impl == "xla":
+            # stay in space-to-depth(2) layout end-to-end: the U-Net
+            # consumes/produces s2d tensors and the composite runs in
+            # s2d space, so the only full-res 3-channel materialization
+            # (catastrophically lane-padded on TPU: C=3 -> 128 lanes) is
+            # the single depth_to_space of the final page
+            from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+                depth_to_space,
+                s2d_apply_mask,
+                space_to_depth,
+            )
+
+            n, h, w = valid2d.shape
+            s2d_pages = space_to_depth(pages)
+            s2d_valid = (
+                valid2d.reshape(n, h // 2, 2, w // 2, 2)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(n, h // 2, w // 2, 4)
+            )
+            out_s2d = self.unet.apply(unet_variables, s2d_pages, s2d_valid, io_s2d=True)
+            comp = s2d_apply_mask(s2d_pages, s2d_valid) + s2d_apply_mask(
+                out_s2d, 1.0 - s2d_valid
+            )
+            return depth_to_space(comp)
+        valid = valid2d[..., None]  # single (N,H,W,1) materialization
         holes_zeroed = pages * valid
         out = self.unet.apply(unet_variables, holes_zeroed, valid)
         return valid * pages + (1.0 - valid) * out
