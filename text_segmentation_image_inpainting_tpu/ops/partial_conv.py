@@ -421,28 +421,39 @@ def partial_conv2d_up2(
 
     if skip_s2d:
         masked_skip = s2d_apply_mask(skip_f.astype(dt), skip_m)
-        skip_m_s2d = skip_m.astype(jnp.float32)
+        skip_m_s2d = skip_m.astype(dt)
     else:
         masked_skip = space_to_depth(skip_f * skip_m.astype(dt))
-        skip_m_s2d = space_to_depth(skip_m.astype(jnp.float32))
+        skip_m_s2d = space_to_depth(skip_m.astype(dt))
 
-    # one conv for both feature banks ...
-    feat_in = jnp.concatenate([f_lo * m_lo.astype(dt), masked_skip], axis=-1)
-    w_all = jnp.concatenate(
-        [_up2_phase_kernel(w_lo), _s2d_phase_kernel(w_skip)], axis=2
+    # ONE conv for both feature banks AND the group-weighted window
+    # counts: input [masked f_lo | masked s2d skip | m_lo | s2d skip_m],
+    # kernel block-diagonal (feature banks produce the 4*Cout phase
+    # features; mask channels produce the 4 phase counts)
+    feat_in = jnp.concatenate(
+        [f_lo * m_lo.astype(dt), masked_skip, m_lo.astype(dt), skip_m_s2d], axis=-1
     )
-    feat_ph = conv(feat_in, w_all)  # (N, Hh+1, Wh+1, 4*Cout)
-
-    # ... and one for the combined group-weighted window counts
-    mask_in = jnp.concatenate([m_lo.astype(jnp.float32), skip_m_s2d], axis=-1)
+    w_feat = jnp.concatenate(
+        [_up2_phase_kernel(w_lo), _s2d_phase_kernel(w_skip)], axis=2
+    )  # (2, 2, c_lo + 4*c_skip, 4*cout)
     w_ones = jnp.concatenate(
         [
             float(c_lo) * _up2_phase_kernel(ones31),
             float(c_skip) * _s2d_phase_kernel(ones31),
         ],
         axis=2,
-    )
-    msum_ph = conv(mask_in, w_ones)  # (N, Hh+1, Wh+1, 4)
+    ).astype(dt)  # (2, 2, 1 + 4, 4)
+    cf = c_lo + 4 * c_skip
+    w_all = jnp.concatenate(
+        [
+            jnp.concatenate([w_feat, jnp.zeros((2, 2, cf, 4), dt)], axis=3),
+            jnp.concatenate([jnp.zeros((2, 2, 5, 4 * cout), dt), w_ones], axis=3),
+        ],
+        axis=2,
+    )  # (2, 2, cf + 5, 4*cout + 4)
+    all_ph = conv(feat_in, w_all)
+    feat_ph = all_ph[..., : 4 * cout]  # (N, Hh+1, Wh+1, 4*Cout)
+    msum_ph = all_ph[..., 4 * cout :].astype(jnp.float32)  # (N, Hh+1, Wh+1, 4)
 
     # renorm/bias/zero epilogue in phase space (4x less traffic than at
     # full res, and only the final bf16 result is interleaved)
@@ -455,20 +466,26 @@ def partial_conv2d_up2(
         out4 = out4 + bias.astype(acc)
     out4 = jnp.where(valid4, out4.astype(dt), jnp.zeros((), dt))
     if out_s2d:
-        # phase (py,px) lives at padded offset (py,px): 4 slices -> the
-        # s2d channel order (py, px, c) directly, no full-res relayout
+        # phase (py,px) lives at padded spatial offset (py,px) and channel
+        # block ph*cout:(ph+1)*cout. Slice SPATIALLY only (all channels)
+        # and pick each phase's channel block with a constant 0/1 channel
+        # mask + sum — small-channel slices (e.g. 3 of 12 at the RGB head)
+        # lane-pad catastrophically on TPU, while the select-sum fuses
+        # into one elementwise loop.
         hh, wh = hp - 1, wp - 1
         out_flat = out4.reshape(n, hp, wp, 4 * cout)
         valid_flat = valid4.astype(dt).reshape(n, hp, wp, 4)
-        outs, masks = [], []
+        out = jnp.zeros((n, hh, wh, 4 * cout), dt)
+        vout = jnp.zeros((n, hh, wh, 4), dt)
+        ch = jnp.arange(4 * cout) // cout
         for py in (0, 1):
             for px in (0, 1):
                 ph = 2 * py + px
-                outs.append(
-                    out_flat[:, py : py + hh, px : px + wh, ph * cout : (ph + 1) * cout]
-                )
-                masks.append(valid_flat[:, py : py + hh, px : px + wh, ph : ph + 1])
-        return jnp.concatenate(outs, axis=-1), jnp.concatenate(masks, axis=-1)
+                sel = (ch == ph).astype(dt)
+                out = out + out_flat[:, py : py + hh, px : px + wh, :] * sel
+                vsel = (jnp.arange(4) == ph).astype(dt)
+                vout = vout + valid_flat[:, py : py + hh, px : px + wh, :] * vsel
+        return out, vout
     out = _interleave_phases(out4.reshape(n, hp, wp, 4 * cout), cout)
     new_mask = _interleave_phases(valid4.astype(dt).reshape(n, hp, wp, 4), 1)
     return out, new_mask
