@@ -35,6 +35,8 @@ ones kernel.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Sequence, Tuple
 
 import jax
@@ -42,6 +44,48 @@ import jax.numpy as jnp
 from jax import lax
 
 from text_segmentation_image_inpainting_tpu.ops.conv import IntOrPair, _pair
+
+# --- spatial (H-sharded) execution context -------------------------------
+#
+# ``spatial_axis("data")`` is a TRACE-TIME switch: while active, every
+# ``partial_conv2d`` call assumes it is tracing inside a ``shard_map``
+# whose inputs are H-sharded over the named mesh axis, exchanges k//2-row
+# halos with ``lax.ppermute`` (ICI neighbor traffic) and convolves with
+# VALID H padding — ring-end zeros reproduce the global zero pad exactly,
+# so sharded output bit-matches the unsharded op. This lets the
+# *unmodified* ``InpaintUNet.apply`` run H-sharded (parallel/spatial.py).
+
+_spatial_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def spatial_axis(axis_name: str):
+    prev = getattr(_spatial_ctx, "axis", None)
+    _spatial_ctx.axis = axis_name
+    try:
+        yield
+    finally:
+        _spatial_ctx.axis = prev
+
+
+def _active_spatial_axis():
+    return getattr(_spatial_ctx, "axis", None)
+
+
+def _halo_exchange_rows(x: jax.Array, above: int, below: int, axis_name: str) -> jax.Array:
+    """Concat ``above`` rows from the upper H-neighbor and ``below`` rows
+    from the lower one: (N,Hl,W,C) -> (N, above+Hl+below, W, C). Ring ends
+    receive zeros (= the global zero padding)."""
+    n_dev = lax.axis_size(axis_name)
+    down_perm = [(i, i + 1) for i in range(n_dev - 1)]
+    up_perm = [(i + 1, i) for i in range(n_dev - 1)]
+    parts = []
+    if above > 0:
+        parts.append(lax.ppermute(x[:, -above:], axis_name, down_perm))
+    parts.append(x)
+    if below > 0:
+        parts.append(lax.ppermute(x[:, :below], axis_name, up_perm))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
 
 
 def mask_window_sum(
@@ -212,6 +256,26 @@ def partial_conv2d(
     s = _pair(stride)
     p = _pair(padding)
     d = _pair(dilation)
+
+    ax = _active_spatial_axis()
+    if ax is not None:
+        # H-sharded execution (tracing inside shard_map): exchange halo
+        # rows, then convolve with VALID H padding. halo_above = p; the
+        # bottom needs p-(s-1) rows (last local output row y=Hl/s-1 reads
+        # up to s*y - p + d*(k-1) = Hl-1 + p-(s-1)). Ring-end zeros from
+        # ppermute == the global zero pad, for features AND mask alike.
+        assert impl == "xla", f"spatial mode supports impl='xla' only, got {impl!r}"
+        assert p[0] == d[0] * (kh - 1) // 2, (
+            f"spatial mode requires torch-same H padding, got p={p[0]} for "
+            f"k={kh}, dilation={d[0]}"
+        )
+        assert x.shape[1] % s[0] == 0, (x.shape, s)
+        above = p[0]
+        below = p[0] - (s[0] - 1)
+        assert below >= 0, (p, s)
+        x = _halo_exchange_rows(x, above, below, ax)
+        mask = _halo_exchange_rows(mask, above, below, ax)
+        p = (0, p[1])
 
     if impl == "s2d":
         assert s == (2, 2) and p == (kh // 2, kw // 2) and d == (1, 1)

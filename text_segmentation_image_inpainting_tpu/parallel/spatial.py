@@ -2,17 +2,25 @@
 sequence/context-parallel analogue (SURVEY.md section 2.2).
 
 The reference has no attention and no sequence dim; its scale axis is
-image resolution. For pages too large for one chip, the TPU-native
-answer is to shard H over the mesh and exchange k//2-row halos between
-neighbors with ``lax.ppermute`` (ICI neighbor traffic, no all-gather).
-``ppermute`` leaves non-received buffers zero, which at the outer
-devices reproduces the global zero padding exactly — so sharded output
-is bit-comparable to the single-device op.
+image resolution. For pages too large for one chip, shard H over the
+mesh. Two complementary full-model paths, both bit-matching the
+unsharded forward on an 8-virtual-CPU mesh (tests/test_spatial_parallel.py):
 
-This is a working prototype wired for stride-1 convs / partial convs
-(the inpainting decoder's shape); full-model spatial sharding (strides,
-bilinear resizes) is a documented follow-on, not v1
-(BASELINE.json parity needs only DP over pages).
+1. **Explicit halo exchange** (:func:`spatial_inpaint_unet`): the
+   unmodified ``InpaintUNet.apply`` traces inside ``shard_map`` under
+   ``ops.partial_conv.spatial_axis`` — every partial conv (stride 1 AND
+   stride 2, any dilation) exchanges k//2-row halos with ``lax.ppermute``
+   (ICI neighbor traffic, no all-gather); nearest upsample and BN are
+   shard-local. ``ppermute`` leaves ring-end buffers zero, reproducing
+   the global zero padding exactly.
+2. **GSPMD annotation** (:func:`spatial_pipeline_run`): jit the WHOLE
+   fused segment→dilate→inpaint pipeline with H-sharded in/out
+   shardings and let XLA's spatial partitioner insert the halo
+   exchanges — covers the flax-conv segmentation encoder too. This is
+   the scaling-book recipe: annotate, let XLA place collectives.
+
+Leaf-op helpers (:func:`spatial_partial_conv2d`, :func:`spatial_conv2d`)
+remain for kernel-level work.
 """
 
 from __future__ import annotations
@@ -23,7 +31,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from text_segmentation_image_inpainting_tpu.parallel.mesh import DATA_AXIS
@@ -97,6 +105,76 @@ def spatial_partial_conv2d(
     if bias is None:
         bias = jnp.zeros((kernel.shape[-1],), x.dtype)
     return fn(x, mask, kernel, bias)
+
+
+def spatial_inpaint_unet(
+    mesh: Mesh,
+    unet,
+    variables,
+    x: jax.Array,
+    mask: jax.Array,
+    *,
+    axis: str = DATA_AXIS,
+) -> jax.Array:
+    """Full InpaintUNet forward with H sharded over ``axis``.
+
+    The UNMODIFIED model traces inside ``shard_map``; the
+    ``spatial_axis`` context makes every ``partial_conv2d`` (stride-2
+    encoder convs included) halo-exchange instead of zero-pad in H.
+    Requires ``unet.fuse_up=False`` (the literal upsample→concat→conv
+    composition — parameters are identical either way) and local H
+    divisible by ``2**unet.depth``.
+
+    x: (N, H, W, 3), mask: (N, H, W, 1); returns (N, H, W, 3), all
+    H-sharded with the same layout.
+    """
+    from text_segmentation_image_inpainting_tpu.ops.partial_conv import spatial_axis
+
+    assert not unet.fuse_up, (
+        "spatial_inpaint_unet needs InpaintUNet(fuse_up=False) — the fused "
+        "half-res phase path is single-device-only; params are identical"
+    )
+    n_dev = mesh.shape[axis]
+    assert (x.shape[1] // n_dev) % (1 << unet.depth) == 0, (
+        f"local H {x.shape[1]}/{n_dev} must be divisible by 2**depth={1 << unet.depth}"
+    )
+
+    def local_fn(x, mask, variables):
+        with spatial_axis(axis):
+            return unet.apply(variables, x, mask)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, axis, None, None), P()),
+        out_specs=P(None, axis, None, None),
+    )
+    return fn(x, mask, variables)
+
+
+def spatial_pipeline_run(
+    mesh: Mesh,
+    pipe,
+    seg_variables,
+    unet_variables,
+    pages: jax.Array,
+    *,
+    axis: str = DATA_AXIS,
+):
+    """Whole fused pipeline (TextSegmenter + dilate + InpaintUNet) with
+    page H sharded over ``axis`` via GSPMD annotation — XLA's spatial
+    partitioner inserts the conv halo exchanges (including through the
+    flax-conv MobileNetV2 encoder, bilinear resizes and the max-pool
+    dilation). Bit-matches the unsharded ``pipe.run``.
+
+    Returns (clean_pages, text_mask), H-sharded.
+    """
+    import jax as _jax
+
+    sh = NamedSharding(mesh, P(None, axis, None, None))
+    rep = NamedSharding(mesh, P())
+    fn = _jax.jit(pipe.run, in_shardings=(rep, rep, sh), out_shardings=(sh, sh))
+    return fn(seg_variables, unet_variables, _jax.device_put(pages, sh))
 
 
 def spatial_conv2d(
