@@ -1,0 +1,108 @@
+"""Config 4 (BASELINE.md:24): full training step — segmentation
+(BCE/dice) and inpainting (L1 + VGG perceptual/style + TV) — batch 8,
+512x512, bf16 compute.
+
+The step itself is the scan body (state is the carry), so K iterations
+time real sequential updates: forward, all losses, backward, optax
+update, BN-stat update — one XLA program end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+from bench.common import TARGET_PAGES_PER_SEC_PER_CHIP, emit, emit_failure
+
+METRIC = "train_step_512px_pages_per_sec"
+
+
+def _time_train(step_fn, state, batch, k: int, reps: int = 3) -> float:
+    @jax.jit
+    def run_k(state, batch):
+        def body(state, _):
+            state, metrics = step_fn(state, batch)
+            return state, metrics["total"]
+
+        state, totals = lax.scan(body, state, None, length=k)
+        return totals[-1]
+
+    float(run_k(state, batch))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(run_k(state, batch))
+    return (time.perf_counter() - t0) / (reps * k)
+
+
+def main(batch: int = 8, size: int = 512, k: int = 5):
+    from text_segmentation_image_inpainting_tpu.models import (
+        InpaintUNet,
+        TextSegmenter,
+        VGG16Features,
+    )
+    from text_segmentation_image_inpainting_tpu.train import (
+        InpaintTrainConfig,
+        SegTrainConfig,
+        create_train_state,
+        make_inpaint_train_step,
+        make_seg_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # --- segmentation step ---
+    seg_cfg = SegTrainConfig(image_size=(size, size))
+    seg = TextSegmenter(dtype=jnp.bfloat16)
+    sbatch = {
+        "image": jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)),
+        "mask": jnp.asarray((rng.random((batch, size, size, 1)) > 0.9).astype(np.float32)),
+    }
+    svars = jax.jit(seg.init)(jax.random.key(0), sbatch["image"][:1])
+    sstate = create_train_state(svars, seg.apply, seg_cfg.optimizer)
+    dt_seg = _time_train(make_seg_train_step(seg, seg_cfg), sstate, sbatch, k)
+    results["seg_ms_per_step"] = round(dt_seg * 1e3, 2)
+
+    # --- inpainting step (full VGG loss bundle) ---
+    inp_cfg = InpaintTrainConfig(image_size=(size, size))
+    unet = InpaintUNet(dtype=jnp.bfloat16)
+    vgg = VGG16Features()
+    ibatch = {
+        "image": jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)),
+        "mask": jnp.asarray((rng.random((batch, size, size, 1)) > 0.08).astype(np.float32)),
+    }
+    uvars = jax.jit(unet.init)(
+        jax.random.key(1), ibatch["image"][:1] * ibatch["mask"][:1], ibatch["mask"][:1]
+    )
+    vgg_vars = jax.jit(vgg.init)(jax.random.key(2), ibatch["image"][:1])
+    ustate = create_train_state(uvars, unet.apply, inp_cfg.optimizer)
+    dt_inp = _time_train(make_inpaint_train_step(unet, inp_cfg, vgg_vars), ustate, ibatch, k)
+    results["inpaint_ms_per_step"] = round(dt_inp * 1e3, 2)
+
+    # one "training page" = one page through BOTH stages' train steps
+    pages_per_sec = batch / (dt_seg + dt_inp)
+    emit(METRIC, pages_per_sec, "pages/s",
+         pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP, batch=batch, **results)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--k", type=int, default=5)
+    args = p.parse_args()
+    try:
+        main(args.batch, args.size, args.k)
+    except Exception as e:
+        emit_failure(METRIC, "pages/s", e)
+        raise

@@ -1,0 +1,57 @@
+"""Run all five canonical benchmark configs (BASELINE.md:19-25), one
+JSON line each, and write ``bench/results.json``.
+
+    python -m bench.run_all [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+CONFIGS = [
+    ("1-seg-forward", ["bench/bench_seg_forward.py"]),
+    ("2-inpaint-forward", ["bench/bench_inpaint_forward.py"]),
+    ("3-e2e-fused", ["bench.py"]),
+    ("4-train-step", ["bench/bench_train_step.py"]),
+    ("5-dp-streaming", ["bench/bench_streaming.py"]),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
+    p.add_argument("--only", type=str, default=None, help="substring filter")
+    args = p.parse_args(argv)
+
+    root = Path(__file__).resolve().parent.parent
+    results = {}
+    for name, cmd in CONFIGS:
+        if args.only and args.only not in name:
+            continue
+        extra = []
+        if args.quick and name != "3-e2e-fused":
+            extra = ["--size", "128"] + (["--n-batches", "4"] if "streaming" in name else [])
+        proc = subprocess.run(
+            [sys.executable] + cmd + extra, cwd=root, capture_output=True, text=True,
+            timeout=3600,
+        )
+        line = next(
+            (ln for ln in reversed(proc.stdout.strip().splitlines())
+             if ln.startswith("{")),
+            None,
+        )
+        if line:
+            print(line)
+            results[name] = json.loads(line)
+        else:
+            results[name] = {"error": (proc.stderr or "no output")[-300:]}
+            print(json.dumps({"config": name, **results[name]}))
+    (root / "bench" / "results.json").write_text(json.dumps(results, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()
