@@ -18,6 +18,9 @@ CONFIGS = [
     ("3-e2e-fused", ["bench.py"]),
     ("4-train-step", ["bench/bench_train_step.py"]),
     ("5-dp-streaming", ["bench/bench_streaming.py"]),
+    # extra evidence beyond the 5 canonical configs: full host-roundtrip
+    # serving (H2D + compute + D2H of every uint8 result, pipelined)
+    ("6-serve-roundtrip", ["bench/bench_streaming.py", "--serve", "--pool", "4"]),
 ]
 
 

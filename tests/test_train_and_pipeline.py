@@ -233,3 +233,73 @@ def test_inpaint_freeze_enc_bn_selective(rng):
         not np.array_equal(before[k]["mean"], after[k]["mean"]) for k in dec_keys
     )
     assert changed, "decoder BN stats must keep updating under freeze_bn"
+
+
+def test_page_stream_server_matches_direct_run(rng):
+    """Pipelined streaming serve == per-batch jitted run, order preserved."""
+    from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
+
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(width_mult=0.35, dtype=jnp.float32),
+        unet=InpaintUNet(depth=3, dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+        dilate_radius=1,
+    )
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    batches = [rng.random((2, SIZE, SIZE, 3), dtype=np.float32) for _ in range(5)]
+
+    server = PageStreamServer(pipe, seg_vars, unet_vars, depth=2)
+    got = list(server.serve(iter(batches)))
+    assert len(got) == 5
+
+    run = jax.jit(pipe.run)
+    for pages, (clean_u8, mask_u8) in zip(batches, got):
+        want_clean, want_mask = run(seg_vars, unet_vars, jnp.asarray(pages))
+        want_u8 = np.round(np.clip(np.asarray(want_clean), 0, 1) * 255).astype(np.uint8)
+        assert clean_u8.dtype == np.uint8 and clean_u8.shape == pages.shape
+        np.testing.assert_array_equal(clean_u8, want_u8)
+        np.testing.assert_array_equal(mask_u8, np.asarray(want_mask).astype(np.uint8))
+
+
+def test_page_stream_server_submit_collect(rng):
+    from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
+
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(width_mult=0.35, dtype=jnp.float32),
+        unet=InpaintUNet(depth=3, dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+    )
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    server = PageStreamServer(pipe, seg_vars, unet_vars, depth=1, output_uint8=False)
+    assert server.collect() is None and not server.ready()
+    a = rng.random((1, SIZE, SIZE, 3), dtype=np.float32)
+    b = rng.random((1, SIZE, SIZE, 3), dtype=np.float32)
+    server.submit(a)
+    assert not server.ready()  # depth=1: one in flight, keep pipelining
+    server.submit(b)
+    assert server.ready()
+    outs = list(server.drain())
+    assert len(outs) == 2 and not server.ready()
+    want, _ = jax.jit(pipe.run)(seg_vars, unet_vars, jnp.asarray(a))
+    np.testing.assert_allclose(outs[0][0], np.asarray(want), atol=1e-6)
+
+
+def test_page_stream_server_uint8_ingest(rng):
+    """uint8 pages (the cheap-H2D wire format) == float pages / 255."""
+    from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
+
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(width_mult=0.35, dtype=jnp.float32),
+        unet=InpaintUNet(depth=3, dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+    )
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    u8 = (rng.random((2, SIZE, SIZE, 3)) * 255).astype(np.uint8)
+    server = PageStreamServer(pipe, seg_vars, unet_vars, depth=1)
+    server.submit(u8)
+    clean_u8, _ = server.collect()
+    want, _ = jax.jit(pipe.run)(
+        seg_vars, unet_vars, jnp.asarray(u8, jnp.float32) / 255.0
+    )
+    want_u8 = np.round(np.clip(np.asarray(want), 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(clean_u8, want_u8)
