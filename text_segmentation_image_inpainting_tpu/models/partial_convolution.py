@@ -22,7 +22,6 @@ from flax import linen as nn
 from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
     partial_conv2d,
     partial_conv2d_up2,
-    up2_interleave,
 )
 from text_segmentation_image_inpainting_tpu.ops.resize import upsample_nearest
 
@@ -86,7 +85,7 @@ class PartialConvUp2(nn.Module):
 
     @nn.compact
     def __call__(self, f_lo, m_lo, skip_f, skip_m, *, skip_s2d: bool = False,
-                 out_s2d: bool = False, out_phase: bool = False):
+                 out_s2d: bool = False):
         cin = f_lo.shape[-1] + skip_f.shape[-1] // (4 if skip_s2d else 1)
         kernel = self.param(
             "kernel", nn.initializers.he_normal(), (3, 3, cin, self.features), jnp.float32
@@ -106,7 +105,6 @@ class PartialConvUp2(nn.Module):
             bias.astype(self.dtype) if bias is not None else None,
             skip_s2d=skip_s2d,
             out_s2d=out_s2d,
-            out_phase=out_phase,
         )
 
 
@@ -192,22 +190,7 @@ class InpaintUNet(nn.Module):
 
         for lvl in range(self.depth - 1, 0, -1):
             sf, sm = skips[lvl]
-            lvl_bn = bn(f"dec{lvl}_bn")
             if fused and sf.shape[1] >= self.fuse_min_hw:
-                # inference: fold BN affine + LeakyReLU into the phase-space
-                # epilogue (pointwise-per-channel, commutes with the
-                # interleave) — the interleave then emits the final bf16
-                # activations and the full-res BN/activation passes (f32
-                # converts + layout copies, profiled ~1.9 ms/batch at
-                # 512²) disappear. Training keeps the literal composition:
-                # batch stats must come from the cropped full-res tensor.
-                if not train:
-                    f4, v4 = PartialConvUp2(
-                        sf.shape[-1], use_bias=False, dtype=self.dtype, name=f"dec{lvl}"
-                    )(f, m, sf, sm, out_phase=True)
-                    f4 = nn.leaky_relu(lvl_bn(f4), 0.2).astype(self.dtype)
-                    f, m = up2_interleave(f4, v4)
-                    continue
                 f, m = PartialConvUp2(
                     sf.shape[-1], use_bias=False, dtype=self.dtype, name=f"dec{lvl}"
                 )(f, m, sf, sm)
@@ -220,7 +203,7 @@ class InpaintUNet(nn.Module):
                     sf.shape[-1], 3, use_bias=False, impl=self.impl,
                     dtype=self.dtype, name=f"dec{lvl}",
                 )(cat_f, cat_m, group_sizes=(f.shape[-1], sf.shape[-1]))
-            f = nn.leaky_relu(lvl_bn(f), 0.2)
+            f = nn.leaky_relu(bn(f"dec{lvl}_bn")(f), 0.2)
 
         sf, sm = skips[0]
         if fused and (io_s2d or sf.shape[1] >= self.fuse_min_hw):

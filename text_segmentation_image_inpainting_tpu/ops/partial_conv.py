@@ -371,16 +371,6 @@ def _interleave_phases(phased: jax.Array, cout: int) -> jax.Array:
     return out.reshape(n, 2 * hh, 2 * wh, cout)
 
 
-def up2_interleave(out4: jax.Array, valid4: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Finish a ``partial_conv2d_up2(..., out_phase=True)`` call: the
-    (N, Hp, Wp, 4, Cout) phase features + (N, Hp, Wp, 4) valid mask
-    (after any pointwise epilogue) -> full-res (y, new_mask)."""
-    n, hp, wp, _, cout = out4.shape
-    y = _interleave_phases(out4.reshape(n, hp, wp, 4 * cout), cout)
-    new_mask = _interleave_phases(valid4, 1)
-    return y, new_mask
-
-
 def space_to_depth(x: jax.Array, factor: int = 2) -> jax.Array:
     """(N, H, W, C) -> (N, H/f, W/f, f*f*C); channel order (dy, dx, c)."""
     n, h, w, c = x.shape
@@ -440,7 +430,6 @@ def partial_conv2d_up2(
     *,
     skip_s2d: bool = False,
     out_s2d: bool = False,
-    out_phase: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused ``upsample_nearest(2) -> concat skip -> 3x3 partial conv``.
 
@@ -475,11 +464,6 @@ def partial_conv2d_up2(
       out_s2d: return (y, new_mask) in space-to-depth(2) form instead of
         full res — callers compositing in S2D space skip the (lane-poor
         at small Cout) full-res interleave entirely.
-      out_phase: return the pre-interleave phase tensors
-        ((N, Hp, Wp, 4, Cout) features, (N, Hp, Wp, 4) valid mask)
-        instead — the caller applies pointwise-per-channel work there
-        (inference BN affine + activation commute with the interleave)
-        and finishes with :func:`up2_interleave`.
 
     Returns (y, new_mask) exactly like :func:`partial_conv2d`.
     """
@@ -545,16 +529,6 @@ def partial_conv2d_up2(
     if bias is not None:
         out4 = out4 + bias.astype(acc)
     out4 = jnp.where(valid4, out4.astype(dt), jnp.zeros((), dt))
-    if out_phase:
-        # hand the phase tensor back pre-interleave: pointwise-per-channel
-        # chains (inference BN affine, activation) commute with the
-        # interleave, so the caller applies them here and interleaves via
-        # :func:`up2_interleave` — the interleave then emits the FINAL
-        # bf16 activations and the full-res f32-convert + layout-copy
-        # passes the profiler showed around dec*_bn vanish. Positions
-        # beyond each phase's hh*wh crop window hold garbage — pointwise
-        # consumers only.
-        return out4, valid4.astype(dt).reshape(n, hp, wp, 4)
     if out_s2d:
         # phase (py,px) lives at padded spatial offset (py,px) and channel
         # block ph*cout:(ph+1)*cout. Slice SPATIALLY only (all channels)
