@@ -31,7 +31,7 @@ SERVE_METRIC = "serve_streaming_512px_pages_per_sec"
 
 
 def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
-               depth: int = 3, pool: int = 0):
+               depth: int = 3, pool: int = 0, chunk: int = 1):
     """Sustained SERVING throughput via ``PageStreamServer``: host
     batches -> H2D -> seg -> inpaint -> D2H of EVERY uint8 result,
     pipelined ``depth`` batches deep. The honest end-to-end service
@@ -49,7 +49,7 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
 
     pipe = TextRemovalPipeline()
     seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(size, size))
-    server = PageStreamServer(pipe, seg_vars, unet_vars, depth=depth)
+    server = PageStreamServer(pipe, seg_vars, unet_vars, depth=depth, chunk=chunk)
 
     host_it = make_dataset("seg", batch_size=batch, size=(size, size), num_workers=workers)
     if pool:
@@ -70,7 +70,7 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
                 yield next(host_it)
 
     # warmup: compile + fill the pipeline
-    for _ in server.serve(take(2)):
+    for _ in server.serve(take(2 * chunk)):
         pass
 
     t0 = time.perf_counter()
@@ -80,21 +80,22 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
     pages_per_sec = batch * n_batches / dt
     emit(SERVE_METRIC, pages_per_sec, "pages/s",
          pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP,
-         batch=batch, n_batches=n_batches, depth=depth, pool=pool)
+         batch=batch, n_batches=n_batches, depth=depth, pool=pool, chunk=chunk)
 
 
 def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
-         pool: int = 4):
+         pool: int = 4, chunk: int = 4):
     """Two streaming measurements, one JSON line:
 
     - value: uint8 pages from a ``pool``-batch pre-synthesized pool,
       streamed through ``DevicePrefetcher`` (H2D thread) into the fused
-      pipeline, results device-resident, one sync at the end — the DP
-      data-pipeline throughput (H2D/compute overlap).
-    - ``live_synthesis_pages_per_sec``: same loop but every batch
-      freshly synthesized by ``make_dataset`` — on this 1-core host the
-      PIL page synthesis itself is the bound (a production host decodes
-      JPEGs across many cores).
+      pipeline ``chunk`` batches per dispatch (lax.map — amortizes the
+      ~16 ms tunnel dispatch RTT), results device-resident, one sync at
+      the end — the DP data-pipeline throughput (H2D/compute overlap).
+    - ``live_synthesis_pages_per_sec``: per-batch dispatch with every
+      batch freshly synthesized by ``make_dataset`` — on this 1-core
+      host the PIL page synthesis itself is the bound (a production
+      host decodes JPEGs across many cores).
     """
     from text_segmentation_image_inpainting_tpu.data.pipeline import (
         DevicePrefetcher,
@@ -115,43 +116,57 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
         return pipe.run(seg_v, unet_v, pages)
 
     run = jax.jit(run_u8, donate_argnums=(2,))
+    run_chunk = jax.jit(
+        lambda sv, uv, stack: jax.lax.map(lambda p: run_u8(sv, uv, p), stack),
+        donate_argnums=(2,),
+    )
 
     host_it = make_dataset("seg", batch_size=batch, size=(size, size), num_workers=workers)
 
-    def measure(source_iter, n):
-        pf = DevicePrefetcher(source_iter, sharding=sharding, depth=3)
+    def measure(source_iter, n, runner, shard, pages_per_dispatch):
+        pf = DevicePrefetcher(source_iter, sharding=shard, depth=3)
         try:
             b = next(pf)  # warmup: compile + fill the prefetch queue
-            clean, mask = run(seg_vars, unet_vars, b["image"])
+            clean, mask = runner(seg_vars, unet_vars, b["image"])
             float(jnp.sum(mask.astype(jnp.float32)))
             t0 = time.perf_counter()
             outs = None
             for _ in range(n):
                 b = next(pf)
-                outs = run(seg_vars, unet_vars, b["image"])
+                outs = runner(seg_vars, unet_vars, b["image"])
             float(jnp.sum(outs[1].astype(jnp.float32)))  # sync on the last batch
-            return batch * n / (time.perf_counter() - t0)
+            return pages_per_dispatch * n / (time.perf_counter() - t0)
         finally:
             pf.close()
 
     def to_u8(b):
         return {"image": np.round(b["image"] * 255.0).astype(np.uint8)}
 
-    # pooled: host synthesis out of the loop
-    pool_batches = [to_u8(next(host_it)) for _ in range(pool)]
+    # pooled: host synthesis out of the loop; chunk batches per dispatch
+    # (batch dim stays the sharded DP axis: chunk is a leading lax.map axis)
+    pool_imgs = [to_u8(next(host_it))["image"] for _ in range(pool)]
+    chunk_shard = None
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chunk_shard = NamedSharding(mesh, P(None, "data"))
 
     def pooled():
         i = 0
         while True:
-            yield pool_batches[i % pool]
-            i += 1
+            yield {"image": np.stack([pool_imgs[(i + j) % pool] for j in range(chunk)])}
+            i += chunk
 
-    pooled_rate = measure(pooled(), n_batches)
-    live_rate = measure((to_u8(next(host_it)) for _ in iter(int, 1)), n_batches)
+    n_disp = max(1, n_batches // chunk)
+    pooled_rate = measure(pooled(), n_disp, run_chunk, chunk_shard, batch * chunk)
+    live_rate = measure(
+        ({"image": to_u8(next(host_it))["image"]} for _ in iter(int, 1)),
+        n_batches, run, sharding, batch,
+    )
 
     emit(METRIC, pooled_rate, "pages/s",
          pooled_rate / TARGET_PAGES_PER_SEC_PER_CHIP,
-         batch=batch, n_batches=n_batches, devices=n_dev, pool=pool,
+         batch=batch, n_batches=n_batches, devices=n_dev, pool=pool, chunk=chunk,
          live_synthesis_pages_per_sec=round(live_rate, 2))
 
 
@@ -159,23 +174,25 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--n-batches", type=int, default=30)
+    p.add_argument("--n-batches", type=int, default=48)
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--serve", action="store_true",
                    help="PageStreamServer sustained-serving mode (D2H every batch)")
     p.add_argument("--pool", type=int, default=4,
                    help="pre-synthesized host batch pool size (serve: 0 = live synthesis)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="stack k batches per dispatch (amortizes tunnel dispatch RTT)")
     args = p.parse_args()
     if args.serve:
         try:
             main_serve(args.batch, args.size, args.n_batches, args.workers,
-                       pool=args.pool)
+                       pool=args.pool, chunk=args.chunk)
         except Exception as e:
             emit_failure(SERVE_METRIC, "pages/s", e)
             raise
         raise SystemExit(0)
     try:
-        main(args.batch, args.size, args.n_batches, args.workers, pool=args.pool)
+        main(args.batch, args.size, args.n_batches, args.workers, pool=args.pool, chunk=args.chunk)
     except Exception as e:
         emit_failure(METRIC, "pages/s", e)
         raise

@@ -303,3 +303,31 @@ def test_page_stream_server_uint8_ingest(rng):
     )
     want_u8 = np.round(np.clip(np.asarray(want), 0, 1) * 255).astype(np.uint8)
     np.testing.assert_array_equal(clean_u8, want_u8)
+
+
+def test_page_stream_server_chunked_matches_direct(rng):
+    """chunk=2 megabatch dispatch == per-batch results, order preserved,
+    including a tail batch short of a full chunk."""
+    from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
+
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(width_mult=0.35, dtype=jnp.float32),
+        unet=InpaintUNet(depth=3, dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+        dilate_radius=1,
+    )
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    batches = [
+        (rng.random((2, SIZE, SIZE, 3)) * 255).astype(np.uint8) for _ in range(5)
+    ]
+    server = PageStreamServer(pipe, seg_vars, unet_vars, depth=1, chunk=2)
+    got = list(server.serve(iter(batches)))
+    assert len(got) == 5
+    run = jax.jit(pipe.run)
+    for pages_u8, (clean_u8, mask_u8) in zip(batches, got):
+        want_clean, want_mask = run(
+            seg_vars, unet_vars, jnp.asarray(pages_u8, jnp.float32) / 255.0
+        )
+        want_u8 = np.round(np.clip(np.asarray(want_clean), 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(clean_u8, want_u8)
+        np.testing.assert_array_equal(mask_u8, np.asarray(want_mask).astype(np.uint8))
