@@ -4,5 +4,16 @@ from text_segmentation_image_inpainting_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from text_segmentation_image_inpainting_tpu.parallel.stage_pipeline import (
+    make_stage_mesh,
+    pipeline2_run,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "make_stage_mesh",
+    "pipeline2_run",
+]
