@@ -31,7 +31,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     root = Path(__file__).resolve().parent.parent
+    out_path = root / "bench" / "results.json"
+    # merge into prior results so --only refreshes one entry, not the file
     results = {}
+    if out_path.exists():
+        try:
+            results = json.loads(out_path.read_text())
+        except json.JSONDecodeError:
+            results = {}
     for name, cmd in CONFIGS:
         if args.only and args.only not in name:
             continue
@@ -53,7 +60,7 @@ def main(argv=None):
         else:
             results[name] = {"error": (proc.stderr or "no output")[-300:]}
             print(json.dumps({"config": name, **results[name]}))
-    (root / "bench" / "results.json").write_text(json.dumps(results, indent=2) + "\n")
+    out_path.write_text(json.dumps(results, indent=2) + "\n")
 
 
 if __name__ == "__main__":
