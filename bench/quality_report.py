@@ -26,9 +26,11 @@ def last_run(path: str) -> list[dict]:
         return rows
     for line in p.read_text().splitlines():
         try:
-            rows.append(json.loads(line))
+            row = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if "step" in row:  # skip config/header lines
+            rows.append(row)
     start = 0
     for i in range(1, len(rows)):
         if rows[i]["step"] <= rows[i - 1]["step"]:
@@ -89,13 +91,15 @@ def main():
     ]
     if seg:
         md += [f"## Segmentation training ({seg[-1]['step']} steps, 256², batch 8)", ""]
-        md += [table(sample(seg), ["step", "total", "bce", "dice", "iou", "precision", "recall"]), ""]
+        md += [table(sample(seg), ["step", "total", "bce", "dice", "iou", "precision",
+                                   "recall", "val_iou", "val_precision", "val_recall"]), ""]
     if inp:
         md += [f"## Inpainting training ({inp[-1]['step']} steps, 256², batch 8)", ""]
         md += [
             table(
                 sample(inp),
-                ["step", "total", "hole", "valid", "perceptual", "style_out", "tv", "psnr", "ssim"],
+                ["step", "total", "hole", "valid", "perceptual", "style_out", "tv",
+                 "psnr", "ssim", "val_psnr", "val_ssim"],
             ),
             "",
         ]

@@ -203,10 +203,15 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        # a worker that died delivered its exception once; it will never
+        # enqueue the None sentinel, so later calls must not block on get()
+        if getattr(self, "_dead", False):
+            raise StopIteration
         item = self._q.get()
         if item is None:
             raise StopIteration
         if isinstance(item, BaseException):
+            self._dead = True
             raise item
         return item
 

@@ -41,6 +41,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from text_segmentation_image_inpainting_tpu.ops.conv import IntOrPair, _pair
@@ -308,8 +309,6 @@ def _pconv_epilogue(feat, msum, bias, window_size, out_dtype):
     out = jnp.where(valid, out.astype(out_dtype), jnp.zeros((), out_dtype))
     return out, valid.astype(out_dtype)
 
-
-import numpy as np
 
 # per-dimension phase selector for the nearest-up2 decomposition:
 # _UP2_SEL[p, a, u] = 1 iff full-res tap u contributes to phase p at

@@ -86,9 +86,9 @@ def main(argv=None):
 
     @jax.jit
     def eval_pipeline(batch):
-        clean, _ = pipe.run(seg_vars, unet_vars, batch["image"])
-        # IoU on the undilated mask (same rationale as eval_seg); the
-        # pipeline itself still inpaints with the dilated hand-off mask
+        # IoU on the undilated mask (same rationale as eval_seg) — one
+        # segmenter forward; the dilated inpaint hand-off mask is scored
+        # nowhere, so the full pipe.run is not needed here
         raw_mask = pipe.segment(seg_vars, batch["image"], dilate=False)
         return {"mask_iou": iou(raw_mask.astype(jnp.float32), batch["mask"])}
 
