@@ -50,13 +50,105 @@ def aggregate_trace(log_dir: str, top: int = 30):
     return rows, calls, total
 
 
+def profile_train(args):
+    """Trace the full train step (fwd + losses + bwd + optax update)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_segmentation_image_inpainting_tpu.models import (
+        InpaintUNet,
+        TextSegmenter,
+        VGG16Features,
+    )
+    from text_segmentation_image_inpainting_tpu.train import (
+        InpaintTrainConfig,
+        SegTrainConfig,
+        create_train_state,
+        make_inpaint_train_step,
+        make_seg_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    batch, size = args.batch, args.size
+    if args.what == "train-seg":
+        cfg = SegTrainConfig(image_size=(size, size))
+        model = TextSegmenter(dtype=jnp.bfloat16)
+        b = {
+            "image": jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)),
+            "mask": jnp.asarray((rng.random((batch, size, size, 1)) > 0.9).astype(np.float32)),
+        }
+        variables = jax.jit(model.init)(jax.random.key(0), b["image"][:1])
+        state = create_train_state(variables, model.apply, cfg.optimizer)
+        step = jax.jit(make_seg_train_step(model, cfg))
+    else:
+        cfg = InpaintTrainConfig(image_size=(size, size))
+        model = InpaintUNet(dtype=jnp.bfloat16)
+        vgg = VGG16Features()
+        b = {
+            "image": jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)),
+            "mask": jnp.asarray((rng.random((batch, size, size, 1)) > 0.08).astype(np.float32)),
+        }
+        variables = jax.jit(model.init)(
+            jax.random.key(1), b["image"][:1] * b["mask"][:1], b["mask"][:1]
+        )
+        vgg_vars = jax.jit(vgg.init)(jax.random.key(2), b["image"][:1])
+        state = create_train_state(variables, model.apply, cfg.optimizer)
+        step = jax.jit(make_inpaint_train_step(model, cfg, vgg_vars))
+
+    import tempfile
+
+    state, m = step(state, b)
+    float(m["total"])  # compile + settle
+    hlo_src = {}
+    if os.environ.get("PROFILE_DUMP_HLO"):
+        import re
+
+        txt = step.lower(state, b).compile().as_text()
+        for line in txt.splitlines():
+            mm = re.search(r"%?([\w.\-]+) = .*op_name=\"([^\"]+)\"", line)
+            if mm:
+                hlo_src[mm.group(1)] = mm.group(2)
+    log_dir = tempfile.mkdtemp(prefix="prof_")
+    jax.profiler.start_trace(log_dir)
+    for _ in range(args.iters):
+        state, m = step(state, b)
+    float(m["total"])
+    jax.profiler.stop_trace()
+    rows, calls, total = aggregate_trace(log_dir, args.top)
+    print(f"# device total {total:.2f} ms over {args.iters} iters "
+          f"=> {total / args.iters:.2f} ms/iter ({args.what}, batch {batch})")
+    print(f"{'ms/iter':>9}  {'calls':>5}  op")
+    for name, ms in rows:
+        print(f"{ms / args.iters:9.3f}  {calls[name] // args.iters:5d}  {name[:110]}")
+
+    if hlo_src:
+        import collections as _c
+
+        by_src = _c.Counter()
+        all_rows, _, _ = aggregate_trace(log_dir, 100000)
+        for name, ms in all_rows:
+            if name.startswith("jit_") or name in ("0", "1", "2"):
+                continue
+            src = hlo_src.get(name, "(unattributed)")
+            # collapse to the top-2 scope levels of the jax op_name
+            by_src["/".join(src.split("/")[:3])] += ms
+        print("\n# by source scope (op_name)")
+        for src, ms in by_src.most_common(args.top):
+            print(f"{ms / args.iters:9.3f}  {src[:130]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--what", choices=["pipeline", "seg", "inpaint"], default="pipeline")
+    ap.add_argument(
+        "--what",
+        choices=["pipeline", "seg", "inpaint", "train-seg", "train-inpaint"],
+        default="pipeline",
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,6 +160,10 @@ def main():
 
     from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
     from text_segmentation_image_inpainting_tpu.utils.profiling import sync
+
+    if args.what.startswith("train-"):
+        profile_train(args)
+        return
 
     pipe = TextRemovalPipeline()
     seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(args.size, args.size))

@@ -148,3 +148,21 @@ def test_inpaint_loss_terms_match_torch_mirror(rng):
 def test_tv_zero_when_no_hole(rng):
     comp = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
     assert float(total_variation_loss(comp, jnp.zeros((1, 8, 8, 1)))) == 0.0
+
+
+def test_vgg_maxpool_helper_matches_stock(rng):
+    """models/vgg.py pools via the stock lowering (custom-VJP variant
+    was tried and reverted — see the note in vgg.py)."""
+    import flax.linen as fnn
+
+    from text_segmentation_image_inpainting_tpu.models.vgg import _max_pool_2x2
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(_max_pool_2x2(x)), np.asarray(fnn.max_pool(x, (2, 2), strides=(2, 2)))
+    )
+    g_helper = jax.grad(lambda t: jnp.sum(jnp.sin(_max_pool_2x2(t))))(x)
+    g_stock = jax.grad(
+        lambda t: jnp.sum(jnp.sin(fnn.max_pool(t, (2, 2), strides=(2, 2))))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_helper), np.asarray(g_stock), rtol=1e-6)

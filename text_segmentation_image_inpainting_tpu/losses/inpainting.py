@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from text_segmentation_image_inpainting_tpu.models.vgg import VGG16Features
@@ -33,6 +34,12 @@ class InpaintLossConfig:
     tv: float = 0.1
     vgg_taps: int = 3
     vgg_normalize: bool = True
+    # VGG trunk compute dtype. 'bfloat16' runs the three 512^2 VGG
+    # forwards (the step's dominant FLOPs, SURVEY.md section 3.2 "2nd-
+    # hottest compute") on the MXU at 2x rate; every loss TERM still
+    # accumulates in fp32 (sums use dtype=f32, Grams use
+    # preferred_element_type=f32), so only the conv activations round.
+    vgg_dtype: str = "float32"
 
 
 def gram_matrix(feats: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +49,9 @@ def gram_matrix(feats: jnp.ndarray) -> jnp.ndarray:
     TPU-friendly by construction.
     """
     n, h, w, c = feats.shape
-    f = feats.reshape(n, h * w, c).astype(jnp.float32)
+    # keep the input dtype (bf16 inputs -> bf16 MXU matmul); accumulate
+    # and return fp32 via preferred_element_type
+    f = feats.reshape(n, h * w, c)
     gram = jnp.einsum("npc,npd->ncd", f, f, preferred_element_type=jnp.float32)
     return gram / float(c * h * w)
 
@@ -88,7 +97,11 @@ def inpainting_loss(
         activations to ``out`` only).
     """
     if vgg_model is None:
-        vgg_model = VGG16Features(num_taps=config.vgg_taps, normalize=config.vgg_normalize)
+        vgg_model = VGG16Features(
+            num_taps=config.vgg_taps,
+            normalize=config.vgg_normalize,
+            dtype=jnp.dtype(config.vgg_dtype),
+        )
     mask = mask.astype(jnp.float32)
     hole = 1.0 - mask
     comp = mask * gt + hole * out
@@ -97,21 +110,33 @@ def inpainting_loss(
     terms["valid"] = _masked_l1(out, gt, mask, normalize_by_mask=True)
     terms["hole"] = _masked_l1(out, gt, hole, normalize_by_mask=True)
 
-    feats_out = vgg_model.apply(vgg_variables, out)
-    feats_comp = vgg_model.apply(vgg_variables, comp)
-    feats_gt = vgg_model.apply(vgg_variables, gt)
+    # ONE batched VGG forward for the two differentiated images: 2N-batch
+    # GEMMs keep the MXU fuller and halve kernel count vs two N-batch
+    # applies (same math — VGG has no cross-batch ops; BN-free trunk)
+    n = out.shape[0]
+    feats_oc = vgg_model.apply(
+        vgg_variables, jnp.concatenate([out, comp], axis=0)
+    )
+    feats_out = [f[:n] for f in feats_oc]
+    feats_comp = [f[n:] for f in feats_oc]
+    # gt is a constant w.r.t. the generator: no cotangent ever flows
+    # through this branch. Keeping it a SEPARATE stop_gradient'd forward
+    # (not concatenated) lets XLA skip both its residual saving and its
+    # (dead) backward — the step pays 2 differentiated VGG forwards, not 3.
+    feats_gt = jax.lax.stop_gradient(vgg_model.apply(vgg_variables, gt))
 
     perc = 0.0
     style_out = 0.0
     style_comp = 0.0
     for fo, fc, fg in zip(feats_out, feats_comp, feats_gt):
-        fo32, fc32, fg32 = (f.astype(jnp.float32) for f in (fo, fc, fg))
-        denom = float(fg32.size)
-        perc += jnp.sum(jnp.abs(fo32 - fg32)) / denom
-        perc += jnp.sum(jnp.abs(fc32 - fg32)) / denom
-        g_gt = gram_matrix(fg32)
-        style_out += jnp.mean(jnp.abs(gram_matrix(fo32) - g_gt))
-        style_comp += jnp.mean(jnp.abs(gram_matrix(fc32) - g_gt))
+        denom = float(fg.size)
+        # abs-diffs in the tap dtype (bf16 under vgg_dtype='bfloat16'),
+        # reductions accumulate fp32
+        perc += jnp.sum(jnp.abs(fo - fg), dtype=jnp.float32) / denom
+        perc += jnp.sum(jnp.abs(fc - fg), dtype=jnp.float32) / denom
+        g_gt = gram_matrix(fg)  # fp32 out (preferred_element_type)
+        style_out += jnp.mean(jnp.abs(gram_matrix(fo) - g_gt))
+        style_comp += jnp.mean(jnp.abs(gram_matrix(fc) - g_gt))
     terms["perceptual"] = perc
     terms["style_out"] = style_out
     terms["style_comp"] = style_comp

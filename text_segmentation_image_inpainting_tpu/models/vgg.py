@@ -34,6 +34,16 @@ def imagenet_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / std
 
 
+# NOTE (round-3 ablation, docs/KERNEL_NOTES.md): a custom-VJP 2x2 pool
+# that routes the cotangent by value-equality (no select_and_scatter)
+# was tried here and REVERTED — the backward's full-res broadcasts did
+# not fuse on this backend and cost MORE than the scatter they replaced
+# (train-inpaint device time 95 -> 109 ms/step, broadcast_in_dim ops at
+# 2.6 ms each in the profile). The stock lowering stays.
+def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
 class VGG16Features(nn.Module):
     """(N,H,W,3) in [0,1] -> [pool1, pool2, pool3] feature taps."""
 
@@ -50,7 +60,7 @@ class VGG16Features(nn.Module):
         pools = 0
         for v in VGG16_CFG:
             if v == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _max_pool_2x2(x)
                 pools += 1
                 taps.append(x)
                 if pools >= self.num_taps:

@@ -49,7 +49,13 @@ class InpaintTrainConfig:
     image_size: Tuple[int, int] = (512, 512)
     batch_size: int = 8
     depth: int = 8
-    loss: InpaintLossConfig = InpaintLossConfig()
+    # training default: bf16 VGG trunk (fp32 term accumulation inside
+    # the loss) — the three full-res VGG forwards are the step's FLOPs
+    # wall; parity/eval paths that need exact fp32 pass their own config
+    loss: InpaintLossConfig = InpaintLossConfig(vgg_dtype="bfloat16")
+    # U-Net rematerialization in the train step: 'none' (keep
+    # activations; fastest, fits batch 8 x 512^2) | 'full' (recompute)
+    remat: str = "none"
     # paper's phase-2 fine-tune: freeze ENCODER BN only (running-average
     # mode); decoder BN keeps training (Liu et al. 2018)
     freeze_bn: bool = False

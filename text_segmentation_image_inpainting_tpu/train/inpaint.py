@@ -26,7 +26,11 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
     batch: {'image': (N,H,W,3) ground truth in [0,1],
             'mask':  (N,H,W,1) validity mask, 1 = keep, 0 = hole}.
     """
-    vgg_model = VGG16Features(num_taps=cfg.loss.vgg_taps, normalize=cfg.loss.vgg_normalize)
+    vgg_model = VGG16Features(
+        num_taps=cfg.loss.vgg_taps,
+        normalize=cfg.loss.vgg_normalize,
+        dtype=jnp.dtype(cfg.loss.vgg_dtype),
+    )
 
     def loss_fn(params, batch_stats, batch):
         gt = batch["image"]
@@ -44,9 +48,23 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
                 mutable=["batch_stats"],
             )
 
-        out, updates = jax.checkpoint(fwd)(variables, holes_zeroed, mask)
+        # cfg.remat: 'none' keeps every U-Net activation for the
+        # backward — batch 8 x 512^2 bf16 fits v5e HBM comfortably and
+        # skips a full forward recompute (measured round 3, see
+        # docs/KERNEL_NOTES.md); 'full' is the old recompute-everything
+        # policy for memory-tight configs (bigger batches/pages).
+        if cfg.remat == "full":
+            fwd_maybe_remat = jax.checkpoint(fwd)
+        elif cfg.remat == "none":
+            fwd_maybe_remat = fwd
+        else:
+            raise ValueError(f"InpaintTrainConfig.remat must be 'none'|'full', got {cfg.remat!r}")
+        out, updates = fwd_maybe_remat(variables, holes_zeroed, mask)
+        # out stays in the model's compute dtype (bf16): upcasting here
+        # adds no information (it was produced in bf16) and costs a
+        # full-res convert in fwd AND bwd; the loss accumulates fp32
         loss, terms = inpainting_loss(
-            out.astype(jnp.float32), gt, mask, vgg_variables,
+            out, gt, mask, vgg_variables,
             config=cfg.loss, vgg_model=vgg_model,
         )
         return loss, (terms, updates)
