@@ -20,7 +20,12 @@ CONFIGS = [
     ("5-dp-streaming", ["bench/bench_streaming.py"]),
     # extra evidence beyond the 5 canonical configs: full host-roundtrip
     # serving (H2D + compute + D2H of every uint8 result, pipelined)
-    ("6-serve-roundtrip", ["bench/bench_streaming.py", "--serve", "--pool", "4"]),
+    ("6-serve-roundtrip", ["bench/bench_streaming.py", "--serve", "--pool", "4",
+                           "--trials", "3"]),
+    # sparse (changed-tile) result return: same serve path, D2H ships
+    # only the mask-touched 32² tiles — the bytes lever on tunnel links
+    ("7-serve-sparse", ["bench/bench_streaming.py", "--serve", "--pool", "4",
+                        "--sparse", "64", "--trials", "3"]),
 ]
 
 

@@ -1,0 +1,165 @@
+"""Sparse (changed-tile) serving wire format (pipeline/sparse.py):
+pack/flatten/recompose roundtrip, server parity vs the dense path,
+overflow fallback, and chunked push-API dispatch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_segmentation_image_inpainting_tpu.models import InpaintUNet, TextSegmenter
+from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer, TextRemovalPipeline
+from text_segmentation_image_inpainting_tpu.pipeline.sparse import (
+    sparse_flatten,
+    sparse_pack,
+    sparse_recompose,
+    sparse_unflatten,
+)
+
+SIZE = 32
+TILE = 16  # 2x2 = 4 tiles per page
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def small_pipe():
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(width_mult=0.35, dtype=jnp.float32),
+        unet=InpaintUNet(depth=3, dtype=jnp.float32),
+        compute_dtype=jnp.float32,
+        dilate_radius=1,
+    )
+    seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
+    return pipe, seg_vars, unet_vars
+
+
+def test_sparse_pack_roundtrip(rng):
+    """flatten -> unflatten -> recompose reproduces changed tiles
+    bit-exactly and leaves untouched tiles as the caller's bytes."""
+    n = 3
+    clean = rng.random((n, SIZE, SIZE, 3)).astype(np.float32)
+    # page 0: one changed tile; page 1: none; page 2: all four
+    mask2d = np.zeros((n, SIZE, SIZE), np.float32)
+    mask2d[0, :TILE, TILE:] = 1.0
+    mask2d[2] = 1.0
+    inputs = rng.integers(0, 256, (n, SIZE, SIZE, 3), dtype=np.uint8)
+
+    packed = sparse_pack(jnp.asarray(clean), jnp.asarray(mask2d), max_tiles=4, tile=TILE)
+    buf = np.asarray(sparse_flatten(packed))
+    unpacked = sparse_unflatten(buf, max_tiles=4, tile=TILE)
+    np.testing.assert_array_equal(np.asarray(packed.count), unpacked.count)
+    got, gmask, overflow = sparse_recompose(inputs, unpacked, tile=TILE)
+
+    assert not overflow.any()
+    clean_u8 = np.round(np.clip(clean, 0, 1) * 255).astype(np.uint8)
+    # tile-level region: expand per-tile changed flags to pixels
+    tflags = mask2d.reshape(n, 2, TILE, 2, TILE).max(axis=(2, 4))
+    region = np.kron(tflags, np.ones((TILE, TILE))).astype(bool)
+    np.testing.assert_array_equal(got[region], clean_u8[region])
+    np.testing.assert_array_equal(got[~region], inputs[~region])
+    np.testing.assert_array_equal(gmask[..., 0], mask2d.astype(np.uint8))
+    assert list(unpacked.count) == [1, 0, 4]
+
+
+def test_sparse_pack_counts_overflow(rng):
+    clean = rng.random((1, SIZE, SIZE, 3)).astype(np.float32)
+    mask2d = np.ones((1, SIZE, SIZE), np.float32)
+    packed = sparse_pack(jnp.asarray(clean), jnp.asarray(mask2d), max_tiles=2, tile=TILE)
+    inputs = np.zeros((1, SIZE, SIZE, 3), np.uint8)
+    got, _, overflow = sparse_recompose(inputs, packed, tile=TILE)
+    assert overflow.all()
+    np.testing.assert_array_equal(got, inputs)  # untouched: caller redoes densely
+
+
+def test_sparse_server_matches_dense(rng):
+    """Sparse serving == dense serving on the text mask everywhere and on
+    the clean page inside every mask-touched tile; outside those tiles the
+    sparse path preserves the caller's exact input bytes."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    batches = [rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8) for _ in range(4)]
+
+    dense = list(
+        PageStreamServer(pipe, seg_vars, unet_vars, depth=2).serve(iter(batches))
+    )
+    sparse = list(
+        PageStreamServer(
+            pipe, seg_vars, unet_vars, depth=2, sparse_tiles=4, tile=TILE
+        ).serve(iter(batches))
+    )
+    assert len(dense) == len(sparse) == 4
+    for pages, (dc, dm), (sc, sm) in zip(batches, dense, sparse):
+        np.testing.assert_array_equal(sm, dm)
+        n = pages.shape[0]
+        tflags = dm[..., 0].reshape(n, 2, TILE, 2, TILE).max(axis=(2, 4))
+        region = np.kron(tflags, np.ones((TILE, TILE))).astype(bool)
+        np.testing.assert_array_equal(sc[region], dc[region])
+        np.testing.assert_array_equal(sc[~region], pages[~region])
+
+
+def test_sparse_server_overflow_falls_back_dense(rng):
+    """With a 1-tile budget every page overflows -> results == dense."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    batches = [rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8) for _ in range(2)]
+    dense = list(PageStreamServer(pipe, seg_vars, unet_vars).serve(iter(batches)))
+    server = PageStreamServer(pipe, seg_vars, unet_vars, sparse_tiles=1, tile=TILE)
+    sparse = list(server.serve(iter(batches)))
+    for (dc, dm), (sc, sm) in zip(dense, sparse):
+        # pages with more than 1 changed tile blew the budget and must be
+        # byte-identical to the dense path (fallback redispatch)
+        for i in range(dm.shape[0]):
+            n_changed = int(
+                (dm[i, ..., 0].reshape(2, TILE, 2, TILE).max(axis=(1, 3)) > 0).sum()
+            )
+            if n_changed > 1:
+                np.testing.assert_array_equal(sc[i], dc[i])
+                np.testing.assert_array_equal(sm[i], dm[i])
+
+
+def test_submit_chunked_matches_per_batch(rng):
+    """chunk=2 push API: 5 submits -> 2 megabatch dispatches + flushed
+    tail; results equal the unchunked server's, in order."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    batches = [rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8) for _ in range(5)]
+
+    plain = PageStreamServer(pipe, seg_vars, unet_vars)
+    for b in batches:
+        plain.submit(b)
+    want = list(plain.drain())
+
+    chunked = PageStreamServer(pipe, seg_vars, unet_vars, chunk=2)
+    for b in batches:
+        chunked.submit(b)
+    assert len(chunked._inflight) == 2  # 2 full chunks dispatched, 1 pending
+    got = list(chunked.drain())
+
+    assert len(got) == len(want) == 5
+    for (wc, wm), (gc, gm) in zip(want, got):
+        np.testing.assert_array_equal(gc, wc)
+        np.testing.assert_array_equal(gm, wm)
+
+
+def test_submit_chunked_sparse(rng):
+    """Sparse + chunked submit compose."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    batches = [rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8) for _ in range(3)]
+    dense = PageStreamServer(pipe, seg_vars, unet_vars)
+    for b in batches:
+        dense.submit(b)
+    want = list(dense.drain())
+
+    server = PageStreamServer(pipe, seg_vars, unet_vars, chunk=2, sparse_tiles=4, tile=TILE)
+    for b in batches:
+        server.submit(b)
+    got = list(server.drain())
+    assert len(got) == 3
+    for pages, (dc, dm), (sc, sm) in zip(batches, want, got):
+        np.testing.assert_array_equal(sm, dm)
+        n = pages.shape[0]
+        tflags = dm[..., 0].reshape(n, 2, TILE, 2, TILE).max(axis=(2, 4))
+        region = np.kron(tflags, np.ones((TILE, TILE))).astype(bool)
+        np.testing.assert_array_equal(sc[region], dc[region])
+        np.testing.assert_array_equal(sc[~region], pages[~region])

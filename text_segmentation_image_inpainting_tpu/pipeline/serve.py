@@ -13,8 +13,18 @@ of batch *i* rides under the compute of batches *i+1..i+depth*.
         ...
 
 ``submit``/``collect`` expose the same double-buffering for push-style
-callers. Outputs are uint8 pages by default: serving wants images, and
-halving the D2H bytes matters on tunnel-attached TPUs.
+callers, including the ``chunk=k`` megabatch dispatch (k submits buffer
+host-side, ride ONE jit call + ONE result read — call :meth:`flush` or
+:meth:`drain` to push out a partial tail). Outputs are uint8 pages by
+default: serving wants images, and halving the D2H bytes matters on
+tunnel-attached TPUs.
+
+``sparse_tiles=K`` switches the result wire format to changed-tiles-only
+(:mod:`.sparse`): the device ships the ≤K mask-touched 32² tiles of each
+page in one flat uint8 buffer and the host pastes them over the caller's
+original page — text covers a small fraction of a page, so D2H bytes
+drop ~4-10x, which is the whole game on a ~16-21 MB/s tunnel link.
+Pages whose changed-tile count exceeds K fall back to a dense dispatch.
 """
 
 from __future__ import annotations
@@ -27,6 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from text_segmentation_image_inpainting_tpu.data.pipeline import DevicePrefetcher
+from text_segmentation_image_inpainting_tpu.pipeline.sparse import (
+    sparse_flatten,
+    sparse_pack,
+    sparse_recompose,
+    sparse_unflatten,
+)
 
 
 class PageStreamServer:
@@ -35,6 +51,10 @@ class PageStreamServer:
     depth: in-flight batches before the oldest result is materialized.
     2 is enough to hide D2H under compute; raise it if host reads are
     slow relative to a batch's device time.
+    chunk: stack k logical batches per dispatch/read (lax.map) — on
+    dispatch-latency-bound links this multiplies sustained throughput.
+    sparse_tiles: >0 returns changed tiles only (see module docstring);
+    requires ``output_uint8``.
     """
 
     def __init__(
@@ -47,6 +67,8 @@ class PageStreamServer:
         output_uint8: bool = True,
         sharding: Any = None,
         chunk: int = 1,
+        sparse_tiles: int = 0,
+        tile: int = 32,
     ):
         self._pipe = pipe
         self._seg_vars = seg_variables
@@ -54,24 +76,38 @@ class PageStreamServer:
         self._depth = max(1, depth)
         self._sharding = sharding
         self._chunk = max(1, chunk)
+        self._sparse = int(sparse_tiles)
+        self._tile = tile
+        if self._sparse and not output_uint8:
+            raise ValueError("sparse_tiles requires output_uint8=True (uint8 wire format)")
+        # in-flight entries: (chunked, sparse, device_result, host_pages_u8|None)
         self._inflight: collections.deque = collections.deque()
         self._done: collections.deque = collections.deque()
+        self._pending: list = []  # chunked submit buffer (host side)
 
-        def run(seg_v, unet_v, pages):
+        def _to_compute(pages):
             if pages.dtype == jnp.uint8:
                 # uint8 over the wire: 4x fewer H2D bytes than float32 —
                 # on tunnel-attached TPUs the input transfer, not compute,
                 # bounds sustained serving throughput
-                pages = pages.astype(pipe.compute_dtype) * (1.0 / 255.0)
-            else:
-                pages = pages.astype(pipe.compute_dtype)
-            clean, mask = pipe.run(seg_v, unet_v, pages)
+                return pages.astype(pipe.compute_dtype) * (1.0 / 255.0)
+            return pages.astype(pipe.compute_dtype)
+
+        def run(seg_v, unet_v, pages):
+            clean, mask = pipe.run(seg_v, unet_v, _to_compute(pages))
             if output_uint8:
                 clean = jnp.round(
                     jnp.clip(clean.astype(jnp.float32), 0.0, 1.0) * 255.0
                 ).astype(jnp.uint8)
                 mask = mask.astype(jnp.uint8)
             return clean, mask
+
+        def run_sparse(seg_v, unet_v, pages):
+            clean, mask = pipe.run(seg_v, unet_v, _to_compute(pages))
+            packed = sparse_pack(
+                clean, mask[..., 0], max_tiles=self._sparse, tile=self._tile
+            )
+            return sparse_flatten(packed)
 
         self._run = jax.jit(run, donate_argnums=(2,))
         # chunked dispatch: ONE jit call (and one D2H read) covers `chunk`
@@ -81,25 +117,78 @@ class PageStreamServer:
             lambda sv, uv, stack: jax.lax.map(lambda p: run(sv, uv, p), stack),
             donate_argnums=(2,),
         )
-
-    # -- push-style API ---------------------------------------------------
-    def submit(self, pages) -> None:
-        """Dispatch one batch ((N,H,W,3): uint8 in [0,255] — preferred,
-        4x cheaper H2D — or float in [0,1]); returns immediately. Call
-        :meth:`collect` to drain results."""
-        pages = np.asarray(pages) if not isinstance(pages, jax.Array) else pages
-        if pages.dtype != np.uint8:
-            pages = jnp.asarray(pages, dtype=self._pipe.compute_dtype)
-        pages = jax.device_put(pages, self._sharding) if self._sharding is not None \
-            else jnp.asarray(pages)
-        self._inflight.append(
-            (False, self._run(self._seg_vars, self._unet_vars, pages))
+        self._run_sparse = jax.jit(run_sparse, donate_argnums=(2,))
+        self._run_sparse_chunk = jax.jit(
+            lambda sv, uv, stack: jax.lax.map(lambda p: run_sparse(sv, uv, p), stack),
+            donate_argnums=(2,),
         )
+
+    # -- dispatch helpers --------------------------------------------------
+    def _host_u8(self, pages) -> np.ndarray:
+        """Caller's pages as the uint8 canvas sparse recompose pastes on."""
+        pages = np.asarray(pages)
+        if pages.dtype != np.uint8:
+            pages = np.round(np.clip(pages, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return pages
+
+    def _device_put(self, pages):
+        if not isinstance(pages, jax.Array):
+            pages = np.asarray(pages)
+        return (
+            jax.device_put(pages, self._sharding)
+            if self._sharding is not None
+            else jnp.asarray(pages)
+        )
+
+    def _dispatch(self, pages, *, chunked: bool) -> None:
+        host = self._host_u8(pages) if self._sparse else None
+        dev = self._device_put(host if host is not None else pages)
+        if self._sparse:
+            fn = self._run_sparse_chunk if chunked else self._run_sparse
+        else:
+            fn = self._run_chunk if chunked else self._run
+        self._inflight.append(
+            (chunked, bool(self._sparse), fn(self._seg_vars, self._unet_vars, dev), host)
+        )
+
+    # -- push-style API ----------------------------------------------------
+    def submit(self, pages) -> None:
+        """Queue one batch ((N,H,W,3): uint8 in [0,255] — preferred, 4x
+        cheaper H2D — or float in [0,1]); returns immediately. With
+        ``chunk=k`` the dispatch happens every k-th submit (ONE jit call
+        for the k buffered batches); :meth:`flush`/:meth:`drain` push
+        out a partial tail. Call :meth:`collect` to drain results."""
+        if self._chunk == 1:
+            self._dispatch(pages, chunked=False)
+            return
+        self._pending.append(np.asarray(pages))
+        if len(self._pending) == self._chunk:
+            stack, self._pending = np.stack(self._pending), []
+            self._dispatch(stack, chunked=True)
+
+    def flush(self) -> None:
+        """Dispatch buffered submits short of a full chunk (per-batch)."""
+        pending, self._pending = self._pending, []
+        for pages in pending:
+            self._dispatch(pages, chunked=False)
 
     def ready(self) -> bool:
         """True if :meth:`collect` will not stall the pipeline (the
         oldest result has ``depth`` newer batches queued behind it)."""
         return len(self._inflight) > self._depth
+
+    def _materialize_sparse(self, buf, host) -> Tuple[np.ndarray, np.ndarray]:
+        packed = sparse_unflatten(
+            np.asarray(buf), max_tiles=self._sparse, tile=self._tile
+        )
+        clean, mask, overflow = sparse_recompose(host, packed, tile=self._tile)
+        if overflow.any():
+            # rare: more changed tiles than the static budget — redo the
+            # whole batch densely and keep the dense overflowed pages
+            dc, dm = self._run(self._seg_vars, self._unet_vars, jnp.asarray(host))
+            dc, dm = np.asarray(dc), np.asarray(dm)
+            clean[overflow], mask[overflow] = dc[overflow], dm[overflow]
+        return clean, mask
 
     def collect(self) -> Tuple[np.ndarray, np.ndarray] | None:
         """Materialize the oldest in-flight result as numpy, or None.
@@ -109,8 +198,15 @@ class PageStreamServer:
             return self._done.popleft()
         if not self._inflight:
             return None
-        chunked, (clean, mask) = self._inflight.popleft()
-        clean, mask = np.asarray(clean), np.asarray(mask)
+        chunked, sparse, res, host = self._inflight.popleft()
+        if sparse:
+            bufs = np.asarray(res)
+            if not chunked:
+                return self._materialize_sparse(bufs, host)
+            for b, h in zip(bufs, host):
+                self._done.append(self._materialize_sparse(b, h))
+            return self._done.popleft()
+        clean, mask = np.asarray(res[0]), np.asarray(res[1])
         if not chunked:
             return clean, mask
         for i in range(1, clean.shape[0]):
@@ -118,10 +214,11 @@ class PageStreamServer:
         return clean[0], mask[0]
 
     def drain(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        self.flush()
         while self._inflight or self._done:
             yield self.collect()
 
-    # -- pull-style API ---------------------------------------------------
+    # -- pull-style API ----------------------------------------------------
     def serve(
         self, host_batches: Iterable, *, prefetch: int = 2
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -132,36 +229,48 @@ class PageStreamServer:
         k consecutive batches are stacked host-side and ride one
         dispatch + one result read.
         """
+        host_q: collections.deque = collections.deque()  # sparse paste canvases
 
         def _images():
             buf = []
             for b in host_batches:
                 img = np.asarray(b["image"] if isinstance(b, dict) else b)
+                if self._sparse:
+                    img = self._host_u8(img)
                 if self._chunk == 1:
+                    host_q.append(img)
                     yield {"image": img}
                     continue
                 buf.append(img)
                 if len(buf) == self._chunk:
-                    yield {"image": np.stack(buf)}
+                    stack = np.stack(buf)
                     buf = []
+                    host_q.append(stack)
+                    yield {"image": stack}
             for img in buf:  # tail short of a full chunk: per-batch dispatch
+                host_q.append(img)
                 yield {"image": img}
 
         pf = DevicePrefetcher(_images(), sharding=self._sharding, depth=prefetch)
         try:
             for batch in pf:
                 img = batch["image"]
-                if self._chunk > 1 and img.ndim == 5:
-                    res = self._run_chunk(self._seg_vars, self._unet_vars, img)
-                    self._inflight.append((True, res))
+                host = host_q.popleft()
+                chunked = self._chunk > 1 and img.ndim == 5
+                if self._sparse:
+                    fn = self._run_sparse_chunk if chunked else self._run_sparse
                 else:
-                    self._inflight.append(
-                        (False, self._run(self._seg_vars, self._unet_vars, img))
-                    )
+                    fn = self._run_chunk if chunked else self._run
+                self._inflight.append(
+                    (chunked, bool(self._sparse),
+                     fn(self._seg_vars, self._unet_vars, img),
+                     host if self._sparse else None)
+                )
                 while self.ready() and self._inflight:
                     yield self.collect()
                 while self._done:
                     yield self._done.popleft()
-            yield from self.drain()
+            while self._inflight or self._done:
+                yield self.collect()
         finally:
             pf.close()
