@@ -1,5 +1,7 @@
 from text_segmentation_image_inpainting_tpu.parallel.mesh import (
     batch_sharding,
+    initialize_distributed,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
     shard_batch,
@@ -10,6 +12,8 @@ from text_segmentation_image_inpainting_tpu.parallel.stage_pipeline import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "make_hybrid_mesh",
     "make_mesh",
     "batch_sharding",
     "replicated",
