@@ -1,0 +1,50 @@
+"""Training-CLI smoke: both drivers run end to end at toy scale and the
+JSONL curves carry held-out ``val_*`` series (VERDICT r2 weak #8)."""
+
+import json
+
+import pytest
+
+
+def _rows(path):
+    return [json.loads(line) for line in open(path)]
+
+
+def test_run_seg_cli_heldout_val(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from text_segmentation_image_inpainting_tpu.train import run_seg
+
+    run_seg.main([
+        "--steps", "4", "--batch-size", "2", "--image-size", "64",
+        "--width-mult", "0.35", "--log-every", "2", "--ckpt-every", "1000",
+        "--ckpt-dir", str(tmp_path / "ck"), "--val-batches", "1", "--no-bf16",
+    ])
+    rows = _rows(tmp_path / "logs" / "seg.jsonl")
+    assert rows and all("val_iou" in r and "val_recall" in r for r in rows)
+    assert all(0.0 <= r["val_iou"] <= 1.0 for r in rows)
+
+
+def test_run_inpaint_cli_heldout_val(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from text_segmentation_image_inpainting_tpu.train import run_inpaint
+
+    run_inpaint.main([
+        "--steps", "2", "--batch-size", "2", "--image-size", "64",
+        "--depth", "3", "--log-every", "2", "--ckpt-every", "1000",
+        "--ckpt-dir", str(tmp_path / "ck"), "--val-batches", "1", "--no-bf16",
+    ])
+    rows = _rows(tmp_path / "logs" / "inpaint.jsonl")
+    assert rows and all("val_psnr" in r and "val_ssim" in r for r in rows)
+
+
+def test_run_seg_cli_inbatch_fallback(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from text_segmentation_image_inpainting_tpu.train import run_seg
+
+    run_seg.main([
+        "--steps", "2", "--batch-size", "2", "--image-size", "64",
+        "--width-mult", "0.35", "--log-every", "2", "--ckpt-every", "1000",
+        "--ckpt-dir", str(tmp_path / "ck"), "--val-batches", "0", "--no-bf16",
+    ])
+    rows = _rows(tmp_path / "logs" / "seg.jsonl")
+    assert rows and all("iou" in r and "val_iou" not in r for r in rows)

@@ -39,6 +39,7 @@ from text_segmentation_image_inpainting_tpu.train.inpaint import (
     make_inpaint_train_step,
 )
 from text_segmentation_image_inpainting_tpu.train.state import create_train_state
+from text_segmentation_image_inpainting_tpu.train.val import make_val_batches, scored_eval
 from text_segmentation_image_inpainting_tpu.utils.logging import MetricLogger
 
 
@@ -59,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--val-batches", type=int, default=2,
+                   help="held-out val batches scored every --log-every "
+                        "window (0 = score the train batch, old behavior)")
     p.add_argument("--export", type=str, default=None,
                    help="write a single-file model snapshot (msgpack) at the end")
     return p.parse_args(argv)
@@ -131,6 +135,12 @@ def main(argv=None):
     eval_step = jax.jit(make_inpaint_eval_step(model))
     logger = MetricLogger("inpaint")
 
+    # fixed deterministic held-out set (disjoint seed stream): in-batch
+    # "eval" flatters the curve — it scores pages the step just trained on
+    val_batches = make_val_batches(
+        "inpaint", cfg, mesh, seed=args.seed + 100_000, n=args.val_batches, paths=paths
+    )
+
     t0 = time.time()
     first_step = int(state.step)
     for step in range(first_step, args.steps):
@@ -140,7 +150,10 @@ def main(argv=None):
             t0 = time.time()  # exclude jit compile from the first rate
         if (step + 1) % cfg.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
-            m.update({k: float(v) for k, v in eval_step(state, batch).items()})
+            if val_batches:
+                m.update(scored_eval(eval_step, state, val_batches))
+            else:
+                m.update(scored_eval(eval_step, state, [batch], prefix=""))
             m["pages_per_sec"] = cfg.log_every * cfg.batch_size / (time.time() - t0)
             logger.log(step + 1, m)
             t0 = time.time()
