@@ -50,6 +50,19 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
 
     pipe = TextRemovalPipeline()
     seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(size, size))
+    # trained weights when available: random-init segmentation marks
+    # arbitrary mask regions (can exceed any sparse tile budget on every
+    # page -> permanent dense fallback); the committed snapshots give the
+    # realistic ~5-15% text coverage the sparse wire format is FOR
+    from pathlib import Path as _P
+
+    trained = _P(__file__).resolve().parent.parent / "trained"
+    if (trained / "seg_synth.msgpack").exists() and size == 512:
+        from text_segmentation_image_inpainting_tpu.models.base import load_model
+
+        seg_vars = load_model(str(trained / "seg_synth.msgpack"), seg_vars)
+        if (trained / "inpaint_synth.msgpack").exists():
+            unet_vars = load_model(str(trained / "inpaint_synth.msgpack"), unet_vars)
     # sparse=K: changed-tile result return — the D2H-bytes lever on this
     # tunnel-attached rig (dense uint8 page ≈ 786 KB; K=64 32² tiles ≈ 260 KB)
     server = PageStreamServer(pipe, seg_vars, unet_vars, depth=depth, chunk=chunk,

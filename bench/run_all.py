@@ -25,7 +25,7 @@ CONFIGS = [
     # sparse (changed-tile) result return: same serve path, D2H ships
     # only the mask-touched 32² tiles — the bytes lever on tunnel links
     ("7-serve-sparse", ["bench/bench_streaming.py", "--serve", "--pool", "4",
-                        "--sparse", "64", "--trials", "3"]),
+                        "--sparse", "96", "--trials", "3"]),
 ]
 
 

@@ -121,12 +121,19 @@ def sparse_flatten(packed: SparsePages) -> jax.Array:
     """Device-side: pack all four result arrays into ONE (N, B) uint8
     buffer so the host reads back a batch in a single D2H transfer —
     on a tunnel-attached chip each separate read pays the full ~16 ms
-    dispatch RTT, which would otherwise swamp the byte savings."""
-    n = packed.tiles.shape[0]
+    dispatch RTT, which would otherwise swamp the byte savings. Mask
+    tiles ride as BITS (8 pixels/byte): they are {0,1} and would
+    otherwise be 1/4 of the tile payload."""
+    n, k, ts = packed.mask_tiles.shape[:3]
+    weights = (jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint32)
+    mbits = jnp.sum(
+        packed.mask_tiles.reshape(n, k, ts, ts // 8, 8).astype(jnp.uint32) * weights,
+        axis=-1,
+    ).astype(jnp.uint8)
     return jnp.concatenate(
         [
             packed.tiles.reshape(n, -1),
-            packed.mask_tiles.reshape(n, -1),
+            mbits.reshape(n, -1),
             jax.lax.bitcast_convert_type(packed.index, jnp.uint8).reshape(n, -1),
             jax.lax.bitcast_convert_type(packed.count, jnp.uint8).reshape(n, -1),
         ],
@@ -135,18 +142,22 @@ def sparse_flatten(packed: SparsePages) -> jax.Array:
 
 
 def sparse_unflatten(buf: np.ndarray, *, max_tiles: int, tile: int) -> SparsePages:
-    """Host-side inverse of :func:`sparse_flatten` (numpy views)."""
+    """Host-side inverse of :func:`sparse_flatten` (numpy views; mask
+    bits re-expanded to uint8 pixels)."""
     buf = np.ascontiguousarray(buf)
     n = buf.shape[0]
     k, ts = max_tiles, tile
     o0 = k * ts * ts * 3
-    o1 = o0 + k * ts * ts
+    o1 = o0 + k * ts * (ts // 8)
     o2 = o1 + 4 * k
     o3 = o2 + 4
     assert buf.shape[1] == o3, (buf.shape, o3)
+    mask_tiles = np.unpackbits(
+        buf[:, o0:o1].reshape(n, k, ts, ts // 8), axis=-1, bitorder="little"
+    )
     return SparsePages(
         buf[:, :o0].reshape(n, k, ts, ts, 3),
-        buf[:, o0:o1].reshape(n, k, ts, ts),
+        mask_tiles,
         np.ascontiguousarray(buf[:, o1:o2]).view(np.int32).reshape(n, k),
         np.ascontiguousarray(buf[:, o2:o3]).view(np.int32).reshape(n),
     )
