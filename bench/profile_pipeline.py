@@ -131,8 +131,8 @@ def profile_train(args):
             if name.startswith("jit_") or name in ("0", "1", "2"):
                 continue
             src = hlo_src.get(name, "(unattributed)")
-            # collapse to the top-2 scope levels of the jax op_name
-            by_src["/".join(src.split("/")[:3])] += ms
+            depth = int(os.environ.get("PROFILE_SCOPE_DEPTH", "3"))
+            by_src["/".join(src.split("/")[:depth])] += ms
         print("\n# by source scope (op_name)")
         for src, ms in by_src.most_common(args.top):
             print(f"{ms / args.iters:9.3f}  {src[:130]}")

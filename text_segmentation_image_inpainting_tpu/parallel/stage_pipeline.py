@@ -113,3 +113,61 @@ def pipeline2_throughput_model(t_seg: float, t_inpaint: float, t_mb: int) -> Tup
     fused = t_mb * (t_seg + t_inpaint)
     piped = (t_seg + t_inpaint) + (t_mb - 1) * max(t_seg, t_inpaint)
     return fused, piped
+
+
+# -- TRAINING-side 2-stage parallelism --------------------------------------
+#
+# The reference trains the two stages INDEPENDENTLY (separate datasets,
+# separate losses, separate drivers — SURVEY.md C11 [R]): the inpainting
+# U-Net trains on (gt, random-hole-mask) pairs, never on segmenter
+# output, so NO gradient ever crosses the stage boundary. GPipe-style
+# training pipelining (activations forward / cotangents backward over
+# ICI) is therefore structurally unnecessary here — the training-side
+# analogue of pipeline parallelism is plain CONCURRENCY: split the mesh
+# into two disjoint DP groups and let JAX's async dispatch run both
+# stages' train steps simultaneously.
+#
+# When is that worth it over DP of each stage over ALL devices, one
+# stage after the other? Per-chip measured step times (512², batch 8,
+# bench/results.json config 4): seg 38.7 ms, inpaint 108.9 ms. On 2n
+# devices training both models:
+#   sequential, each DP over 2n:  (38.7 + 108.9)/2n * ... = 73.8/n ms
+#   concurrent, n devices/stage:  max(38.7, 108.9)/n     = 108.9/n ms
+# All-DP wins 1.48x because the stages are imbalanced (DP parallelizes
+# BOTH steps; a stage split idles the seg group 64% of the time) and DP
+# gradient all-reduces of these ≤35 MB models are cheap on ICI. The
+# stage split only wins when the two jobs contend for host input
+# bandwidth or HBM (not the case at these sizes). Hence: the framework
+# ships concurrent 2-group training as a composition helper (below,
+# tested for exactness) and documents all-devices DP as the production
+# default for training.
+
+
+def make_group_meshes(devices=None, *, seg_fraction: float = 0.5):
+    """Partition devices into two disjoint DP meshes (seg, inpaint)."""
+    from text_segmentation_image_inpainting_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices() if devices is None else list(devices)
+    assert len(devices) >= 2, "2-group training needs 2+ devices"
+    k = max(1, min(len(devices) - 1, int(round(len(devices) * seg_fraction))))
+    return make_mesh(devices=devices[:k]), make_mesh(devices=devices[k:])
+
+
+def concurrent_train2(seg_step, inpaint_step):
+    """Compose the two stages' (already jitted, group-mesh-bound) train
+    steps into one call that dispatches both without synchronizing in
+    between — JAX async dispatch overlaps them on their disjoint device
+    groups. Returns ``step(seg_state, seg_batch, inp_state, inp_batch)
+    -> (seg_state, seg_metrics, inp_state, inp_metrics)``.
+
+    The math is identical to running the steps separately (they share
+    no state and no devices); tests/test_stage_pipeline.py asserts
+    bit-equality against the sequential single-group run.
+    """
+
+    def step(seg_state, seg_batch, inp_state, inp_batch):
+        seg_state, seg_metrics = seg_step(seg_state, seg_batch)
+        inp_state, inp_metrics = inpaint_step(inp_state, inp_batch)
+        return seg_state, seg_metrics, inp_state, inp_metrics
+
+    return step
