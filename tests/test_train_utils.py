@@ -80,3 +80,20 @@ def test_tolerant_merge_warns_on_zero_match(caplog):
         merged, report = tolerant_merge(template, loaded)
     assert not report["used"]
     assert any("NO keys matched" in r.message for r in caplog.records)
+
+
+def test_ssim_bounded_on_near_perfect_reconstruction(rng):
+    """SSIM(x, x) == 1 and SSIM never exceeds 1 + eps, including on flat
+    page-like regions where the variance terms cancel catastrophically
+    (the TPU default-precision conv inflated this past 1.02 — metrics
+    now force HIGHEST-precision filters and clamp variances)."""
+    from text_segmentation_image_inpainting_tpu.train.metrics import ssim
+
+    flat = jnp.full((1, 64, 64, 3), 0.97, jnp.float32)
+    noise = jnp.asarray(rng.normal(0, 1e-3, (1, 64, 64, 3)).astype(np.float32))
+    for a, b in [(flat, flat), (flat, flat + noise)]:
+        v = float(ssim(a, b))
+        assert v <= 1.0 + 1e-5, v
+        assert v >= 0.95, v
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    assert abs(float(ssim(x, x)) - 1.0) < 1e-5

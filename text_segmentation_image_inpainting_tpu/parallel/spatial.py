@@ -125,6 +125,20 @@ def spatial_inpaint_unet(
     composition — parameters are identical either way) and local H
     divisible by ``2**unet.depth``.
 
+    Why the assertion stays (round-3 disposition): the phase-fused
+    decoder operates in half-res phase space, where one output row
+    interleaves BOTH phases — its halo is a 1-row PHASE halo whose
+    contents depend on the phase parity of the shard boundary, i.e. a
+    correct exchange needs parity-conditional selector weights per
+    shard edge. That is real complexity for a path that already has a
+    production-scale alternative: :func:`spatial_pipeline_run` shards
+    the FUSED model via GSPMD, and
+    ``tests/test_spatial_parallel.py::test_spatial_gspmd_fused_512_compiles_with_halo_collectives``
+    proves at 8x512² that XLA stitches it with collective-permutes
+    (halo traffic), not all-gathers. Explicit shard_map halo exchange
+    remains for the unfused model (useful for kernel-level control);
+    the fused model scales spatially through GSPMD.
+
     x: (N, H, W, 3), mask: (N, H, W, 1); returns (N, H, W, 3), all
     H-sharded with the same layout.
     """

@@ -47,16 +47,23 @@ def ssim(
     kernel = jnp.tile(win[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
 
     def filt(x):
+        # HIGHEST precision is load-bearing: the TPU's default conv
+        # precision runs bf16 passes, and the sigma terms below are
+        # catastrophic cancellations (E[x^2] - mu^2 ~ 1e-4 on flat page
+        # regions vs c2 = 9e-4) — bf16 noise there inflated SSIM past
+        # 1.0 on near-perfect reconstructions
         return lax.conv_general_dilated(
             x, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=lax.Precision.HIGHEST,
         )
 
     mu_p, mu_t = filt(pred), filt(target)
     mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
-    sigma_p = filt(pred * pred) - mu_pp
-    sigma_t = filt(target * target) - mu_tt
+    # variances are nonnegative by definition; clamp the cancellation
+    sigma_p = jnp.maximum(filt(pred * pred) - mu_pp, 0.0)
+    sigma_t = jnp.maximum(filt(target * target) - mu_tt, 0.0)
     sigma_pt = filt(pred * target) - mu_pt
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
