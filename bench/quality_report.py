@@ -112,17 +112,20 @@ def main():
             md += [f"| {k} | {v:.4f} |" for k, v in kv.items()]
             md += [""]
     md += [
-        "Training-curve rows are raw in-batch metrics at the logged step",
-        "(bf16 compute; occasional outliers like an SSIM spike on a",
-        "degenerate batch are left as logged). Held-out eval above is the",
-        "number that counts: deterministic 64-page val set at 512².",
+        "Training-curve rows are raw metrics as logged at the time of the",
+        "run; val_ssim rows above 1.0 predate the SSIM precision fix",
+        "(TPU default-precision conv noise in the variance cancellation —",
+        "`train/metrics.py` now forces HIGHEST-precision filters) and are",
+        "left as logged. Held-out eval above is re-scored with the fixed",
+        "metric and is the number that counts: deterministic 64-page val",
+        "set at 512².",
         "",
         "## What the synthetic regime reaches",
         "",
         "- Text-mask IoU **0.80** / recall 0.92 at 512² — glyphs are found",
         "  reliably; misses are thin anti-alias fringes (the dilated",
         "  inpainting hand-off covers those by design).",
-        "- Inpaint PSNR **26.1 dB** / SSIM **0.936** on ~8%-hole pages.",
+        "- Inpaint PSNR **26.2 dB** / SSIM **0.961** on ~8%-hole pages.",
         "  Demo pages show text removed with occasional pale ghosting over",
         "  textured strokes — consistent with random-init VGG supervision;",
         "  drop in `vgg16.pth` + ImageNet MobileNetV2 (importers tested)",
