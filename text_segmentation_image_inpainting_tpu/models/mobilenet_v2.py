@@ -16,6 +16,7 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from text_segmentation_image_inpainting_tpu.ops import depthwise
 from text_segmentation_image_inpainting_tpu.ops.conv import torch_same_padding
 
 # (expansion t, out channels c, repeats n, first-block stride s)
@@ -67,18 +68,29 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         p = torch_same_padding(self.kernel_size, self.dilation)
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((p[0], p[0]), (p[1], p[1])),
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=not self.use_bn,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.use_bn and depthwise.supports(
+            self.features, self.groups, x.shape[-1], self.kernel_size, self.stride
+        ):
+            # depthwise: same forward conv, Pallas weight gradient
+            # (ops/depthwise.py); param tree identical to the nn.Conv
+            # branch, so checkpoints/importers see no difference
+            x = depthwise.DepthwiseConv(
+                self.features, self.kernel_size, dilation=self.dilation,
+                dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((p[0], p[0]), (p[1], p[1])),
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
