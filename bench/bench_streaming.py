@@ -42,7 +42,7 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
     the H2D/compute/D2H pipeline from this box's 1-core page-synthesis
     rate (live synthesis manages ~35 pages/s and starves the chip; any
     production host decodes JPEGs across multiple cores instead)."""
-    from text_segmentation_image_inpainting_tpu.data.pipeline import make_dataset
+    from text_segmentation_image_inpainting_tpu.data.pipeline import make_page_stream_u8
     from text_segmentation_image_inpainting_tpu.pipeline import (
         PageStreamServer,
         TextRemovalPipeline,
@@ -68,14 +68,11 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
     server = PageStreamServer(pipe, seg_vars, unet_vars, depth=depth, chunk=chunk,
                               sparse_tiles=sparse)
 
-    host_it = make_dataset("seg", batch_size=batch, size=(size, size), num_workers=workers)
+    # uint8 pages, as a production image source would hold them — also 4x
+    # fewer bytes over the tunnel's H2D path; native C++ synthesis when built
+    host_it = make_page_stream_u8(batch_size=batch, size=(size, size))
     if pool:
-        # uint8 pages, as a production image source would hold them —
-        # also 4x fewer bytes over the tunnel's H2D path
-        batches = [
-            np.round(next(host_it)["image"] * 255.0).astype(np.uint8)
-            for _ in range(pool)
-        ]
+        batches = [next(host_it)["image"] for _ in range(pool)]
 
         def take(n):
             for i in range(n):
@@ -84,7 +81,7 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
 
         def take(n):
             for _ in range(n):
-                yield next(host_it)
+                yield next(host_it)["image"]
 
     # warmup: compile + fill the pipeline
     for _ in server.serve(take(2 * chunk)):
@@ -125,7 +122,7 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
     """
     from text_segmentation_image_inpainting_tpu.data.pipeline import (
         DevicePrefetcher,
-        make_dataset,
+        make_page_stream_u8,
     )
     from text_segmentation_image_inpainting_tpu.parallel import batch_sharding, make_mesh
     from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
@@ -147,7 +144,9 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
         donate_argnums=(2,),
     )
 
-    host_it = make_dataset("seg", batch_size=batch, size=(size, size), num_workers=workers)
+    # u8 serving-format pages straight from the native C++ engine (the
+    # PIL fallback quantizes inside make_page_stream_u8)
+    host_it = make_page_stream_u8(batch_size=batch, size=(size, size))
 
     def measure(source_iter, n, runner, shard, pages_per_dispatch):
         pf = DevicePrefetcher(source_iter, sharding=shard, depth=3)
@@ -165,12 +164,9 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
         finally:
             pf.close()
 
-    def to_u8(b):
-        return {"image": np.round(b["image"] * 255.0).astype(np.uint8)}
-
     # pooled: host synthesis out of the loop; chunk batches per dispatch
     # (batch dim stays the sharded DP axis: chunk is a leading lax.map axis)
-    pool_imgs = [to_u8(next(host_it))["image"] for _ in range(pool)]
+    pool_imgs = [next(host_it)["image"] for _ in range(pool)]
     chunk_shard = None
     if sharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -193,7 +189,7 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
     )
     pooled_rate = rates[len(rates) // 2]
     live_rate = measure(
-        ({"image": to_u8(next(host_it))["image"]} for _ in iter(int, 1)),
+        ({"image": next(host_it)["image"]} for _ in iter(int, 1)),
         n_batches, run, sharding, batch,
     )
 

@@ -90,18 +90,43 @@ def overlay_text(
     return out.astype(np.float32), mask[..., None]
 
 
-def segmentation_sample(rng: np.random.Generator, size=(512, 512)):
-    """One (image_with_text, text_mask) training pair, fully synthetic."""
+def segmentation_sample(rng: np.random.Generator, size=(512, 512), *, native: bool | None = None):
+    """One (image_with_text, text_mask) training pair, fully synthetic.
+
+    ``native=None`` auto-selects the C++ page engine
+    (``data/native_pages.py``, ~11x the PIL path on this one-core host);
+    ``False`` forces the PIL reference implementation.
+    """
+    if native is not False:
+        from text_segmentation_image_inpainting_tpu.data import native_pages
+
+        if native_pages.available():
+            return native_pages.segmentation_sample_native(rng, size)
+        if native:
+            raise RuntimeError("native page engine requested but unavailable")
     page = synthetic_page(rng, size)
     return overlay_text(page, rng)
 
 
-def inpainting_sample(rng: np.random.Generator, size=(512, 512)):
+def inpainting_sample(rng: np.random.Generator, size=(512, 512), *, native: bool | None = None):
     """One (gt_image, hole_mask) pair: gt is a clean synthetic page, the
     hole mask mixes text-shaped holes (the product case) and random
-    strokes. mask: 1 = valid."""
+    strokes. mask: 1 = valid. ``native`` as in ``segmentation_sample``."""
     from text_segmentation_image_inpainting_tpu.data.masks import random_hole_mask
 
+    if native is not False:
+        from text_segmentation_image_inpainting_tpu.data import native_masks, native_pages
+
+        if native_pages.available():
+            page, text_mask = native_pages.inpainting_page_native(rng, size)
+            if rng.random() < 0.5:
+                return page, (1.0 - text_mask).astype(np.float32)
+            mask = native_masks.random_hole_masks(
+                [int(rng.integers(0, 2**63))], size
+            )[0]
+            return page, mask.astype(np.float32)
+        if native:
+            raise RuntimeError("native page engine requested but unavailable")
     page = synthetic_page(rng, size)
     if rng.random() < 0.5:
         _, text_mask = overlay_text(page, rng)
