@@ -170,6 +170,115 @@ class MobileNetV2Encoder(nn.Module):
         return taps
 
 
+class XSeparableConv(nn.Module):
+    """Xception separable conv: depthwise 3x3 + pointwise 1x1, each conv-bn-relu."""
+
+    def __init__(self, cin, cout, stride=1, dilation=1):
+        super().__init__()
+        self.dw = conv_bn_act(cin, cin, 3, stride=stride, dilation=dilation,
+                              groups=cin, act="relu")
+        self.pw = conv_bn_act(cin, cout, 1, act="relu")
+
+    def forward(self, x):
+        return self.pw(self.dw(x))
+
+
+class XceptionBlock(nn.Module):
+    """N separable convs (stride on the last) + residual/projected skip."""
+
+    def __init__(self, cin, feats, stride=1, dilation=1):
+        super().__init__()
+        seps = []
+        c = cin
+        for i, f in enumerate(feats):
+            s = stride if i == len(feats) - 1 else 1
+            seps.append(XSeparableConv(c, f, stride=s, dilation=dilation))
+            c = f
+        self.seps = nn.ModuleList(seps)
+        self.skip = (
+            None if stride == 1 and cin == feats[-1]
+            else conv_bn_act(cin, feats[-1], 1, stride=stride, act="none")
+        )
+
+    def forward(self, x):
+        h = x
+        for m in self.seps:
+            h = m(h)
+        return (x if self.skip is None else self.skip(x)) + h
+
+
+XCEPTION_ENTRY = ((128, 128, 128), (256, 256, 256), (728, 728, 728))
+XCEPTION_EXIT = (728, 1024, 1024)
+XCEPTION_EXIT_SEPS = (1536, 2048)
+
+
+def _xception_stride_plan(output_stride, n_strided):
+    plan = []
+    current, dilation = 2, 1
+    for _ in range(n_strided):
+        if current >= output_stride:
+            plan.append((1, dilation))
+            dilation *= 2
+        else:
+            plan.append((2, dilation))
+            current *= 2
+    return plan
+
+
+class XceptionEncoder(nn.Module):
+    """Aligned-Xception-style dilated backbone (alternative-encoder track,
+    SURVEY.md section 2.1 extras [R-low]); taps s2/s4/out like the
+    MobileNetV2 encoder."""
+
+    def __init__(self, width_mult=1.0, output_stride=8, middle_repeats=8):
+        super().__init__()
+        wm = width_mult
+        self.stem1 = conv_bn_act(3, round_ch(32, wm), 3, stride=2, act="relu")
+        self.stem2 = conv_bn_act(round_ch(32, wm), round_ch(64, wm), 3, act="relu")
+        plan = _xception_stride_plan(output_stride, len(XCEPTION_ENTRY) + 1)
+        entries = []
+        cin = round_ch(64, wm)
+        for bi, chans in enumerate(XCEPTION_ENTRY):
+            stride, d = plan[bi]
+            feats = [round_ch(c, wm) for c in chans]
+            entries.append(XceptionBlock(cin, feats, stride=stride, dilation=d))
+            cin = feats[-1]
+        self.entry = nn.ModuleList(entries)
+        mid_d = plan[len(XCEPTION_ENTRY) - 1][1] * (
+            2 if plan[len(XCEPTION_ENTRY) - 1][0] == 1 else 1
+        )
+        mid_c = round_ch(XCEPTION_ENTRY[-1][-1], wm)
+        self.mid = nn.ModuleList(
+            [XceptionBlock(mid_c, [mid_c] * 3, dilation=mid_d)
+             for _ in range(middle_repeats)]
+        )
+        stride, d = plan[len(XCEPTION_ENTRY)]
+        feats = [round_ch(c, wm) for c in XCEPTION_EXIT]
+        self.exit0 = XceptionBlock(cin, feats, stride=stride, dilation=d)
+        exit_d = d * (2 if stride == 1 else 1)
+        cin = feats[-1]
+        exits = []
+        for c in XCEPTION_EXIT_SEPS:
+            exits.append(XSeparableConv(cin, round_ch(c, wm), dilation=exit_d))
+            cin = round_ch(c, wm)
+        self.exit1, self.exit2 = exits
+        self.out_channels = cin
+
+    def forward(self, x):
+        taps = {}
+        x = self.stem2(self.stem1(x))
+        taps["s2"] = x
+        for bi, b in enumerate(self.entry):
+            x = b(x)
+            if bi == 0:
+                taps["s4"] = x
+        for b in self.mid:
+            x = b(x)
+        x = self.exit2(self.exit1(self.exit0(x)))
+        taps["out"] = x
+        return taps
+
+
 class DilatedDecoder(nn.Module):
     """Dilated-conv decoder + bilinear upsample + skip concat (SURVEY.md C4)."""
 
@@ -201,12 +310,15 @@ class DilatedDecoder(nn.Module):
 
 
 class TextSegmenter(nn.Module):
-    def __init__(self, width_mult=1.0, output_stride=8):
+    def __init__(self, width_mult=1.0, output_stride=8, backbone="mobilenet_v2"):
         super().__init__()
-        self.encoder = MobileNetV2Encoder(width_mult, output_stride)
-        self.decoder = DilatedDecoder(
-            self.encoder.out_channels, round_ch(24, width_mult), round_ch(32, width_mult)
-        )
+        if backbone == "xception":
+            self.encoder = XceptionEncoder(width_mult, output_stride)
+            c_s4, c_s2 = round_ch(128, width_mult), round_ch(64, width_mult)
+        else:
+            self.encoder = MobileNetV2Encoder(width_mult, output_stride)
+            c_s4, c_s2 = round_ch(24, width_mult), round_ch(32, width_mult)
+        self.decoder = DilatedDecoder(self.encoder.out_channels, c_s4, c_s2)
 
     def forward(self, x):
         return self.decoder(self.encoder(x))
@@ -310,3 +422,44 @@ class VGG16Features(nn.Module):
             if i in self.tap_idx:
                 taps.append(x)
         return taps
+
+
+class SNConv2d(nn.Module):
+    """torch.nn.utils.spectral_norm over a stock Conv2d (Miyato et al.
+    2018) — oracle for models/experiments.py::SpectralNormConv2d."""
+
+    def __init__(self, cin, cout, k, stride=1, dilation=1, bias=True):
+        super().__init__()
+        self.conv = nn.utils.spectral_norm(
+            nn.Conv2d(
+                cin, cout, k, stride=stride, padding=dilation * (k - 1) // 2,
+                dilation=dilation, bias=bias,
+            )
+        )
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class SelfAttention2d(nn.Module):
+    """SAGAN self-attention block (Zhang et al. 2018) — oracle for
+    models/experiments.py::SelfAttention2d. Key/value max-pooled 2x,
+    zero-init gamma residual gate."""
+
+    def __init__(self, channels, spectral_norm=False):
+        super().__init__()
+        sn = nn.utils.spectral_norm if spectral_norm else (lambda m: m)
+        self.query = sn(nn.Conv2d(channels, channels // 8, 1, bias=False))
+        self.key = sn(nn.Conv2d(channels, channels // 8, 1, bias=False))
+        self.value = sn(nn.Conv2d(channels, channels // 2, 1, bias=False))
+        self.out = sn(nn.Conv2d(channels // 2, channels, 1, bias=False))
+        self.gamma = nn.Parameter(torch.zeros(()))
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        q = self.query(x).reshape(n, c // 8, h * w)
+        k = F.max_pool2d(self.key(x), 2).reshape(n, c // 8, -1)
+        v = F.max_pool2d(self.value(x), 2).reshape(n, c // 2, -1)
+        attn = torch.softmax(torch.einsum("ncq,nck->nqk", q, k), dim=-1)
+        o = torch.einsum("nqk,nck->ncq", attn, v).reshape(n, c // 2, h, w)
+        return x + self.gamma * self.out(o)

@@ -1,0 +1,193 @@
+"""Spectral-norm conv + SAGAN self-attention parity vs the torch oracle
+(SURVEY.md section 2.1 extras [R-low]: the reference's README-era
+spectral-norm / self-attention experiment track)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.oracle import torch_ref
+from text_segmentation_image_inpainting_tpu.models.experiments import (
+    SelfAttention2d,
+    SpectralNormConv2d,
+)
+
+
+def to_nhwc(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+def oihw_to_hwio(w):
+    return np.transpose(w.detach().numpy(), (2, 3, 1, 0))
+
+
+def _sn_state(prefix, sd):
+    """(kernel_hwio, u, v) from a torch spectral_norm'd conv's state_dict."""
+    return (
+        oihw_to_hwio(sd[f"{prefix}.weight_orig"]),
+        sd[f"{prefix}.weight_u"].numpy(),
+        sd[f"{prefix}.weight_v"].numpy(),
+    )
+
+
+def test_spectral_norm_conv_eval_matches_torch():
+    torch.manual_seed(0)
+    ref = torch_ref.SNConv2d(8, 16, 3, stride=2).eval()
+    sd = ref.state_dict()
+    kernel, u, v = _sn_state("conv", sd)
+    variables = {
+        "params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(sd["conv.bias"].numpy())},
+        "spectral": {"u": jnp.asarray(u), "v": jnp.asarray(v)},
+    }
+    model = SpectralNormConv2d(16, 3, stride=2)
+    x = np.random.default_rng(0).standard_normal((2, 16, 16, 8)).astype(np.float32)
+    got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = to_nhwc(ref(torch.from_numpy(np.moveaxis(x, -1, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_spectral_norm_conv_train_step_matches_torch():
+    """One training forward: the power iteration must update u/v exactly
+    like torch's (n_power_iterations=1) and produce the same output."""
+    torch.manual_seed(1)
+    ref = torch_ref.SNConv2d(4, 8, 3)
+    sd = ref.state_dict()
+    kernel, u, v = _sn_state("conv", sd)
+    variables = {
+        "params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(sd["conv.bias"].numpy())},
+        "spectral": {"u": jnp.asarray(u), "v": jnp.asarray(v)},
+    }
+    model = SpectralNormConv2d(8, 3)
+    x = np.random.default_rng(1).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    got, mut = model.apply(
+        variables, jnp.asarray(x), update_stats=True, mutable=["spectral"]
+    )
+    ref.train()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=1e-4, atol=1e-5)
+    sd2 = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(mut["spectral"]["u"]), sd2["conv.weight_u"].numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["spectral"]["v"]), sd2["conv.weight_v"].numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_spectral_norm_bounds_sigma():
+    """After a few update steps the effective kernel's top singular value
+    must sit at ~1 (the whole point of the experiment track)."""
+    model = SpectralNormConv2d(12, 3, use_bias=False)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 8, 8, 6)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x)
+    # scale the raw kernel so sigma is far from 1 pre-normalization
+    variables = {
+        **variables,
+        "params": {"kernel": variables["params"]["kernel"] * 7.3},
+    }
+    for _ in range(8):
+        _, mut = model.apply(variables, x, update_stats=True, mutable=["spectral"])
+        variables = {**variables, "spectral": mut["spectral"]}
+    k = variables["params"]["kernel"]
+    wmat = jnp.transpose(k, (3, 2, 0, 1)).reshape(k.shape[-1], -1)
+    sigma_true = float(jnp.linalg.svd(wmat, compute_uv=False)[0])
+    u = variables["spectral"]["u"]
+    v = variables["spectral"]["v"]
+    sigma_est = float(u @ (wmat @ v))
+    # power iteration converged: estimate within 1% of the true sigma,
+    # so the normalized kernel has spectral norm ~1
+    assert abs(sigma_est - sigma_true) / sigma_true < 0.01
+
+
+def _fill_attention_variables(template, ref, spectral_norm):
+    sd = ref.state_dict()
+    params = dict(template["params"])
+    out = {"params": params}
+    if spectral_norm:
+        spectral = {}
+        for name in ("query", "key", "value", "out"):
+            kernel, u, v = _sn_state(name, sd)
+            params[name] = {"kernel": jnp.asarray(kernel)}
+            spectral[name] = {"u": jnp.asarray(u), "v": jnp.asarray(v)}
+        out["spectral"] = spectral
+    else:
+        for name in ("query", "key", "value", "out"):
+            params[name] = {"kernel": jnp.asarray(oihw_to_hwio(sd[f"{name}.weight"]))}
+    params["gamma"] = jnp.asarray(sd["gamma"].numpy())
+    return out
+
+
+def test_self_attention_matches_torch():
+    torch.manual_seed(3)
+    ref = torch_ref.SelfAttention2d(32).eval()
+    with torch.no_grad():
+        ref.gamma.fill_(0.7)  # nonzero so the attention path is exercised
+    model = SelfAttention2d()
+    x = np.random.default_rng(3).standard_normal((2, 12, 12, 32)).astype(np.float32)
+    template = model.init(jax.random.key(1), jnp.asarray(x))
+    variables = _fill_attention_variables(template, ref, spectral_norm=False)
+    got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = to_nhwc(ref(torch.from_numpy(np.moveaxis(x, -1, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_self_attention_spectral_norm_matches_torch():
+    torch.manual_seed(4)
+    ref = torch_ref.SelfAttention2d(16, spectral_norm=True).eval()
+    with torch.no_grad():
+        ref.gamma.fill_(-0.4)
+    model = SelfAttention2d(spectral_norm=True)
+    x = np.random.default_rng(4).standard_normal((1, 8, 8, 16)).astype(np.float32)
+    template = model.init(jax.random.key(2), jnp.asarray(x))
+    variables = _fill_attention_variables(template, ref, spectral_norm=True)
+    got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = to_nhwc(ref(torch.from_numpy(np.moveaxis(x, -1, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_self_attention_starts_as_identity_and_grads_flow():
+    """gamma inits to 0 (block == identity) but gradient still reaches the
+    projections through the gamma cotangent."""
+    model = SelfAttention2d()
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 8, 8, 16)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(3), x)
+    y = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-6, atol=1e-6)
+
+    def loss(p):
+        return jnp.mean(model.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(g["gamma"])) > 0
+
+
+def test_inpaint_unet_attention_bottleneck():
+    """InpaintUNet(attention=True): SAGAN block at the bottleneck — output
+    geometry unchanged, attention params exist and receive gradient."""
+    from text_segmentation_image_inpainting_tpu.models import InpaintUNet
+
+    model = InpaintUNet(depth=4, attention=True)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    m = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.3).astype(np.float32))
+    variables = model.init(jax.random.key(4), x, m)
+    assert "attn" in variables["params"]
+    out = jax.jit(model.apply)(variables, x, m)
+    assert out.shape == (1, 32, 32, 3)
+
+    def loss(p):
+        return jnp.mean(model.apply({**variables, "params": p}, x, m) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g["attn"])
+    assert leaves and all(bool(jnp.isfinite(l).all()) for l in leaves)

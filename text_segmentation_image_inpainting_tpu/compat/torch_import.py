@@ -124,9 +124,46 @@ def import_mobilenetv2_encoder(sd: StateDict, *, prefix: str = "", path=()) -> d
     return v.done()
 
 
-def import_text_segmenter(sd: StateDict) -> dict:
+def _import_separable(v: _Vars, flax_path, sd, torch_prefix):
+    """oracle XSeparableConv: .dw / .pw conv_bn_act pairs."""
+    _import_conv_bn_act(v, flax_path + ("dw",), sd, torch_prefix + ".dw")
+    _import_conv_bn_act(v, flax_path + ("pw",), sd, torch_prefix + ".pw")
+
+
+def _import_xception_block(v: _Vars, flax_path, sd, torch_prefix, n_seps=3):
+    for i in range(n_seps):
+        _import_separable(v, flax_path + (f"sep{i}",), sd, f"{torch_prefix}.seps.{i}")
+    if f"{torch_prefix}.skip.0.weight" in sd:  # middle blocks have no skip conv
+        _import_conv_bn_act(v, flax_path + ("skip",), sd, f"{torch_prefix}.skip")
+
+
+def import_xception_encoder(
+    sd: StateDict, *, middle_repeats: int = 8, prefix: str = "", path=()
+) -> dict:
+    """Oracle/reference XceptionEncoder state_dict -> flax variables.
+
+    Mirrors models/xception.py (SURVEY.md section 2.1 alternative-encoder
+    extras [R-low]); round-trip-verified against tests/oracle/torch_ref.py.
+    """
+    v = _Vars()
+    _import_conv_bn_act(v, path + ("stem1",), sd, prefix + "stem1")
+    _import_conv_bn_act(v, path + ("stem2",), sd, prefix + "stem2")
+    for bi in range(3):
+        _import_xception_block(v, path + (f"entry{bi}",), sd, f"{prefix}entry.{bi}")
+    for r in range(middle_repeats):
+        _import_xception_block(v, path + (f"mid{r}",), sd, f"{prefix}mid.{r}")
+    _import_xception_block(v, path + ("exit0",), sd, f"{prefix}exit0")
+    _import_separable(v, path + ("exit1",), sd, f"{prefix}exit1")
+    _import_separable(v, path + ("exit2",), sd, f"{prefix}exit2")
+    return v.done()
+
+
+def import_text_segmenter(sd: StateDict, *, backbone: str = "mobilenet_v2") -> dict:
     """Oracle/reference TextSegmenter (encoder+decoder) -> flax variables."""
-    enc = import_mobilenetv2_encoder(sd, prefix="encoder.", path=("encoder",))
+    if backbone == "xception":
+        enc = import_xception_encoder(sd, prefix="encoder.", path=("encoder",))
+    else:
+        enc = import_mobilenetv2_encoder(sd, prefix="encoder.", path=("encoder",))
     v = _Vars()
     v.params = enc["params"]
     v.batch_stats = enc["batch_stats"]

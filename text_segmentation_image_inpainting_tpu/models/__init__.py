@@ -6,8 +6,14 @@ from text_segmentation_image_inpainting_tpu.models.mobilenet_v2 import (
     ConvBNAct,
 )
 from text_segmentation_image_inpainting_tpu.models.text_segmentation import (
+    DeepLabASPPDecoder,
     TextSegmenter,
     TextSegament,
+)
+from text_segmentation_image_inpainting_tpu.models.xception import XceptionEncoder
+from text_segmentation_image_inpainting_tpu.models.experiments import (
+    SelfAttention2d,
+    SpectralNormConv2d,
 )
 from text_segmentation_image_inpainting_tpu.models.partial_convolution import (
     PartialConv,
@@ -21,6 +27,10 @@ __all__ = [
     "ConvBNAct",
     "TextSegmenter",
     "TextSegament",
+    "XceptionEncoder",
+    "DeepLabASPPDecoder",
+    "SelfAttention2d",
+    "SpectralNormConv2d",
     "PartialConv",
     "InpaintUNet",
     "VGG16Features",

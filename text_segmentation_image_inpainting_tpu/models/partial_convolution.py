@@ -125,6 +125,13 @@ class InpaintUNet(nn.Module):
 
     depth: int = 8
     impl: str = "xla"
+    # SAGAN self-attention block at the encoder bottleneck — the
+    # reference's README-era self-attention experiment (SURVEY.md
+    # section 2.1 extras [R-low]); ``attention_sn`` additionally
+    # spectral-normalizes the block's projections. Off by default: the
+    # reference's shipped model is pure partial-conv.
+    attention: bool = False
+    attention_sn: bool = False
     # decoder levels run the fused half-res phase conv (PartialConvUp2,
     # checkpoint-identical params; ~2x faster at 512^2). False restores
     # the literal upsample->concat->conv composition.
@@ -187,6 +194,17 @@ class InpaintUNet(nn.Module):
                 f = bn(f"enc{i}_bn", frozen=freeze_enc_bn)(f)
             f = nn.relu(f)
             skips.append((f, m))
+
+        if self.attention:
+            from text_segmentation_image_inpainting_tpu.models.experiments import (
+                SelfAttention2d,
+            )
+
+            # attention sees features only; the mask stream is untouched
+            # (positions are (H/2^depth)^2 — tiny GEMMs at 512^2 input)
+            f = SelfAttention2d(
+                spectral_norm=self.attention_sn, dtype=self.dtype, name="attn"
+            )(f, update_stats=train if self.attention_sn else False)
 
         for lvl in range(self.depth - 1, 0, -1):
             sf, sm = skips[lvl]

@@ -69,19 +69,106 @@ class DilatedDecoder(nn.Module):
         return resize_bilinear(x, (s2.shape[1] * 2, s2.shape[2] * 2))
 
 
+class DeepLabASPPDecoder(nn.Module):
+    """DeepLab-v3+-style head: full ASPP (1x1 + three dilated 3x3 branches
+    + image-level pooling) over the encoder output, then the v3+ decoder
+    (upsample to s4, 48-channel skip concat, two 3x3 refiners, 1-ch head).
+
+    The reference's README-era ASPP experiment track (SURVEY.md section
+    2.1 "possible extras" [R-low]) — offered as ``TextSegmenter(
+    head='deeplab')``. Branch rates follow DeepLab: (12, 24, 36) at
+    output-stride 8, (6, 12, 18) at 16.
+    """
+
+    mid: int = 256
+    output_stride: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps, *, train: bool = False):
+        out = taps["out"]
+        scale = 12 if self.output_stride <= 8 else 6
+        branches = [
+            ConvBNAct(self.mid, 1, act="relu", dtype=self.dtype, name="aspp0")(
+                out, train=train
+            )
+        ]
+        for i, r in enumerate((scale, 2 * scale, 3 * scale)):
+            branches.append(
+                ConvBNAct(
+                    self.mid, 3, dilation=r, act="relu", dtype=self.dtype,
+                    name=f"aspp{i + 1}",
+                )(out, train=train)
+            )
+        # image-level pooling branch (global context), broadcast back
+        pooled = jnp.mean(out, axis=(1, 2), keepdims=True)
+        pooled = ConvBNAct(self.mid, 1, act="relu", dtype=self.dtype, name="image_pool")(
+            pooled, train=train
+        )
+        branches.append(jnp.broadcast_to(pooled, out.shape[:3] + (self.mid,)))
+        x = ConvBNAct(self.mid, 1, act="relu", dtype=self.dtype, name="fuse")(
+            jnp.concatenate(branches, axis=-1), train=train
+        )
+
+        s4 = taps["s4"]
+        x = resize_bilinear(x, s4.shape[1:3])
+        skip4 = ConvBNAct(48, 1, act="relu", dtype=self.dtype, name="skip4")(
+            s4, train=train
+        )
+        x = jnp.concatenate([x, skip4], axis=-1)
+        x = ConvBNAct(self.mid, 3, act="relu", dtype=self.dtype, name="dec0")(
+            x, train=train
+        )
+        x = ConvBNAct(self.mid, 3, act="relu", dtype=self.dtype, name="dec1")(
+            x, train=train
+        )
+        # 1x1 head before the x4 upsample (linear ops commute; resizing
+        # 1 channel instead of mid cuts full-res traffic — same trick as
+        # DilatedDecoder, profiled in round 1)
+        x = nn.Conv(
+            1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="head"
+        )(x)
+        return resize_bilinear(x, (s4.shape[1] * 4, s4.shape[2] * 4))
+
+
 class TextSegmenter(nn.Module):
-    """img (N,H,W,3) -> text-mask logits (N,H,W,1)."""
+    """img (N,H,W,3) -> text-mask logits (N,H,W,1).
+
+    ``backbone``: 'mobilenet_v2' (reference default) or 'xception' (the
+    reference's alternative-encoder experiment track). ``head``: 'mini'
+    (reference's dilated decoder) or 'deeplab' (full ASPP + v3+ decoder).
+    """
 
     width_mult: float = 1.0
     output_stride: int = 8
     decoder_mid: int = 128
+    backbone: str = "mobilenet_v2"
+    head: str = "mini"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        taps = MobileNetV2Encoder(
-            self.width_mult, self.output_stride, dtype=self.dtype, name="encoder"
-        )(x, train=train)
+        if self.backbone == "xception":
+            from text_segmentation_image_inpainting_tpu.models.xception import (
+                XceptionEncoder,
+            )
+
+            taps = XceptionEncoder(
+                self.width_mult, self.output_stride, dtype=self.dtype, name="encoder"
+            )(x, train=train)
+        elif self.backbone == "mobilenet_v2":
+            taps = MobileNetV2Encoder(
+                self.width_mult, self.output_stride, dtype=self.dtype, name="encoder"
+            )(x, train=train)
+        else:
+            raise ValueError(f"unknown backbone {self.backbone!r}")
+        if self.head == "deeplab":
+            return DeepLabASPPDecoder(
+                max(self.decoder_mid, 256), self.output_stride, dtype=self.dtype,
+                name="decoder",
+            )(taps, train=train)
+        if self.head != "mini":
+            raise ValueError(f"unknown head {self.head!r}")
         return DilatedDecoder(self.decoder_mid, dtype=self.dtype, name="decoder")(
             taps, train=train
         )

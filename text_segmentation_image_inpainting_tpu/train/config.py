@@ -33,6 +33,8 @@ class SegTrainConfig:
     batch_size: int = 8
     width_mult: float = 1.0
     output_stride: int = 8
+    backbone: str = "mobilenet_v2"  # or "xception" (alternative-encoder track)
+    head: str = "mini"  # or "deeplab" (full ASPP + v3+ decoder)
     bce_weight: float = 1.0
     dice_weight: float = 1.0
     focal_weight: float = 0.0

@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--width-mult", type=float, default=1.0)
+    p.add_argument("--backbone", choices=("mobilenet_v2", "xception"), default="mobilenet_v2")
+    p.add_argument("--head", choices=("mini", "deeplab"), default="mini")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--pos-weight", type=float, default=3.0)
     p.add_argument("--freeze-encoder", action="store_true")
@@ -74,6 +76,8 @@ def main(argv=None):
         image_size=(args.image_size, args.image_size),
         batch_size=args.batch_size,
         width_mult=args.width_mult,
+        backbone=args.backbone,
+        head=args.head,
         pos_weight=args.pos_weight,
         freeze_encoder=args.freeze_encoder,
         bf16_compute=args.bf16,
@@ -83,7 +87,9 @@ def main(argv=None):
     )
     mesh = make_mesh()
     dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
-    model = TextSegmenter(width_mult=cfg.width_mult, dtype=dtype)
+    model = TextSegmenter(
+        width_mult=cfg.width_mult, backbone=cfg.backbone, head=cfg.head, dtype=dtype
+    )
 
     paths = None
     if args.data_dir:
