@@ -3,6 +3,7 @@ from text_segmentation_image_inpainting_tpu.parallel.mesh import (
     initialize_distributed,
     make_hybrid_mesh,
     make_mesh,
+    make_mesh_for_batch,
     replicated,
     shard_batch,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "initialize_distributed",
     "make_hybrid_mesh",
     "make_mesh",
+    "make_mesh_for_batch",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -47,6 +47,29 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_for_batch(batch_size: int, *, model_parallel: int = 1) -> Mesh:
+    """``make_mesh()`` with the data axis clamped to divide ``batch_size``.
+
+    The training CLIs take arbitrary ``--batch-size``; on a host whose
+    device count does not divide it (e.g. batch 2 on an 8-chip slice, or
+    the 8-virtual-CPU test mesh), sharding the batch axis would fail at
+    ``device_put``. Use the largest device count d <= n with
+    d*model_parallel | batch_size*model_parallel and d | n, i.e.
+    gcd(n_data, batch_size) data-parallel ways — full DP when divisible,
+    graceful narrowing otherwise."""
+    import math
+
+    devices = jax.devices()
+    n_data = len(devices) // model_parallel
+    d = math.gcd(n_data, batch_size) if batch_size > 0 else n_data
+    if d < n_data:
+        print(
+            f"note: batch {batch_size} not divisible by {n_data} data-parallel "
+            f"devices; using {d}-way DP over the first {d * model_parallel} devices"
+        )
+    return make_mesh(n_devices=d * model_parallel, model_parallel=model_parallel)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch/page) axis over the data axis (and the
     dcn axis too on a hybrid mesh — pages are dp-sharded across both)."""

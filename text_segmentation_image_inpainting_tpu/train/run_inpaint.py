@@ -26,7 +26,7 @@ from text_segmentation_image_inpainting_tpu.data.pipeline import (
 from text_segmentation_image_inpainting_tpu.models import InpaintUNet, VGG16Features
 from text_segmentation_image_inpainting_tpu.parallel import (
     batch_sharding,
-    make_mesh,
+    make_mesh_for_batch,
     replicated,
 )
 from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
@@ -97,7 +97,7 @@ def main(argv=None):
         checkpoint_every=args.ckpt_every,
         log_every=args.log_every,
     )
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.batch_size)
     dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
     model = InpaintUNet(depth=cfg.depth, impl=cfg.pconv_impl, dtype=dtype)
     vgg = VGG16Features(dtype=dtype)

@@ -24,7 +24,7 @@ from text_segmentation_image_inpainting_tpu.data.pipeline import (
 from text_segmentation_image_inpainting_tpu.models import TextSegmenter
 from text_segmentation_image_inpainting_tpu.parallel import (
     batch_sharding,
-    make_mesh,
+    make_mesh_for_batch,
     replicated,
 )
 from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
@@ -85,7 +85,7 @@ def main(argv=None):
         checkpoint_every=args.ckpt_every,
         log_every=args.log_every,
     )
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.batch_size)
     dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
     model = TextSegmenter(
         width_mult=cfg.width_mult, backbone=cfg.backbone, head=cfg.head, dtype=dtype
