@@ -191,3 +191,90 @@ def test_inpaint_unet_attention_bottleneck():
     g = jax.grad(loss)(variables["params"])
     leaves = jax.tree_util.tree_leaves(g["attn"])
     assert leaves and all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_spectral_norm_conv_grad_matches_torch():
+    """Training-mode gradient parity: torch detaches u/v, so
+    d sigma / dW == u v^T exactly — the jax implementation must not
+    differentiate through the power-iteration chain."""
+    torch.manual_seed(7)
+    ref = torch_ref.SNConv2d(4, 6, 3)
+    sd = ref.state_dict()
+    kernel, u, v = _sn_state("conv", sd)
+    # state_dict tensors SHARE storage with the module, and .numpy()
+    # shares with the tensor — torch's in-place power iteration below
+    # would silently mutate these views, so snapshot them now
+    kernel, u, v = kernel.copy(), u.copy(), v.copy()
+    bias = sd["conv.bias"].numpy().copy()
+    x = np.random.default_rng(7).standard_normal((2, 8, 8, 4)).astype(np.float32)
+
+    ref.train()
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1)).requires_grad_(False)
+    ref.zero_grad()
+    ref(xt).sum().backward()
+    want = oihw_to_hwio(ref.conv.weight_orig.grad)
+    want_bias = ref.conv.bias.grad.numpy()
+
+    model = SpectralNormConv2d(6, 3)
+    variables = {
+        "params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)},
+        "spectral": {"u": jnp.asarray(u), "v": jnp.asarray(v)},
+    }
+
+    def loss(params):
+        out, _ = model.apply(
+            {**variables, "params": params}, jnp.asarray(x),
+            update_stats=True, mutable=["spectral"],
+        )
+        return jnp.sum(out)
+
+    g = jax.grad(loss)(variables["params"])
+    np.testing.assert_allclose(np.asarray(g["kernel"]), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g["bias"]), want_bias, rtol=1e-4, atol=1e-5)
+
+
+def test_inpaint_train_step_attention_sn_driver_path():
+    """The driver stack trains InpaintUNet(attention_sn=True): the
+    'spectral' collection rides the TrainState, power-iterates each
+    step, and the loss stays finite / decreases on a repeated batch."""
+    from text_segmentation_image_inpainting_tpu.models import InpaintUNet, VGG16Features
+    from text_segmentation_image_inpainting_tpu.train import (
+        InpaintTrainConfig,
+        create_train_state,
+        make_inpaint_train_step,
+    )
+    from text_segmentation_image_inpainting_tpu.train.config import OptimizerConfig
+    from text_segmentation_image_inpainting_tpu.train.inpaint import make_inpaint_eval_step
+
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 32, 32, 1)) > 0.25).astype(np.float32))
+    batch = {"image": img, "mask": mask}
+
+    cfg = InpaintTrainConfig(
+        image_size=(32, 32), batch_size=2, depth=3, attention=True,
+        attention_sn=True, bf16_compute=False,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+    )
+    model = InpaintUNet(depth=cfg.depth, attention=True, attention_sn=True)
+    variables = jax.jit(model.init)(jax.random.key(0), img, mask)
+    assert "spectral" in variables
+    vgg = VGG16Features()
+    vgg_vars = jax.jit(vgg.init)(jax.random.key(1), img)
+
+    state = create_train_state(variables, model.apply, cfg.optimizer)
+    assert state.spectral is not None
+    u0 = state.spectral["attn"]["query"]["u"]
+    step = jax.jit(make_inpaint_train_step(model, cfg, vgg_vars))
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # power iteration actually ran: u moved from its initial value
+    assert float(jnp.abs(state.spectral["attn"]["query"]["u"] - u0).max()) > 0
+
+    # eval path reads (doesn't mutate) the spectral collection
+    ev = jax.jit(make_inpaint_eval_step(model))(state, batch)
+    assert np.isfinite(float(ev["psnr"]))

@@ -97,3 +97,64 @@ def test_ssim_bounded_on_near_perfect_reconstruction(rng):
         assert v >= 0.95, v
     x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
     assert abs(float(ssim(x, x)) - 1.0) < 1e-5
+
+
+def test_checkpoint_roundtrip_with_spectral_state(tmp_path):
+    """CheckpointManager round-trip of the full TrainState, including the
+    experiments track's spectral (u/v) collection added round 3."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
+    from text_segmentation_image_inpainting_tpu.train.state import TrainState
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    state = TrainState.create(
+        apply_fn=lambda *a: None,
+        params=params,
+        tx=optax.sgd(1e-2),
+        batch_stats={"bn": {"mean": jnp.ones((3,))}},
+        spectral={"attn": {"u": jnp.asarray([0.6, 0.8]), "v": jnp.zeros((3,))}},
+    )
+    state = state.replace(step=7)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_interval_steps=1)
+    assert ckpt.save(7, state)
+    ckpt.wait()
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored, step = ckpt.restore_latest(template)
+    ckpt.close()
+    assert step == 7 and int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.spectral["attn"]["u"]), np.asarray([0.6, 0.8], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.batch_stats["bn"]["mean"]), np.ones((3,), np.float32)
+    )
+
+
+def test_checkpoint_restore_none_spectral(tmp_path):
+    """States without spectral state (every non-experiment model) still
+    round-trip — the None field must not disturb orbax's tree layout."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
+    from text_segmentation_image_inpainting_tpu.train.state import TrainState
+
+    state = TrainState.create(
+        apply_fn=lambda *a: None, params={"w": jnp.ones((4,))}, tx=optax.sgd(1e-2)
+    )
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_interval_steps=1)
+    assert ckpt.save(0, state)
+    ckpt.wait()
+    restored, step = ckpt.restore_latest(state)
+    ckpt.close()
+    assert step == 0
+    assert restored.spectral is None and restored.batch_stats is None
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.ones((4,), np.float32))

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -49,12 +50,18 @@ def spectral_sigma(weight_mat: jnp.ndarray, u: jnp.ndarray, *, n_iter: int = 1):
     Returns ``(sigma, u_new, v_new)`` exactly as torch's
     ``SpectralNorm.compute_weight`` does with ``n_power_iterations=n_iter``:
     v = normalize(W^T u); u = normalize(W v); sigma = u^T W v.
+
+    Gradient semantics also match torch: the iteration runs on a
+    *detached* W (torch's ``with torch.no_grad()`` block; u/v are
+    buffers), and only the final bilinear form sees the differentiable
+    W — so ``d sigma / dW == u v^T``, not the power-iteration chain rule.
     """
     w32 = weight_mat.astype(jnp.float32)
-    u = u.astype(jnp.float32)
+    w_iter = jax.lax.stop_gradient(w32)
+    u = jax.lax.stop_gradient(u.astype(jnp.float32))
     for _ in range(n_iter):
-        v = _l2_normalize(w32.T @ u)
-        u = _l2_normalize(w32 @ v)
+        v = _l2_normalize(w_iter.T @ u)
+        u = _l2_normalize(w_iter @ v)
     sigma = u @ (w32 @ v)
     return sigma, u, v
 

@@ -61,6 +61,11 @@ class InpaintTrainConfig:
     # paper's phase-2 fine-tune: freeze ENCODER BN only (running-average
     # mode); decoder BN keeps training (Liu et al. 2018)
     freeze_bn: bool = False
+    # experiment track: SAGAN self-attention at the U-Net bottleneck,
+    # optionally spectral-normalized (power-iteration u/v state rides
+    # the TrainState like BN stats)
+    attention: bool = False
+    attention_sn: bool = False
     optimizer: OptimizerConfig = OptimizerConfig()
     bf16_compute: bool = True
     pconv_impl: str = "xla"  # 'xla' | 'pallas'

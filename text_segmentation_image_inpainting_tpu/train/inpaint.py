@@ -32,20 +32,26 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
         dtype=jnp.dtype(cfg.loss.vgg_dtype),
     )
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, spectral, batch):
         gt = batch["image"]
         mask = batch["mask"]
         holes_zeroed = gt * mask
         variables = {"params": params}
+        mutable = ["batch_stats"]
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+        if spectral is not None:
+            # spectral-norm u/v buffers (attention_sn experiment track):
+            # power-iterated on training forwards, carried like BN stats
+            variables["spectral"] = spectral
+            mutable.append("spectral")
 
         def fwd(v, x, m):
             # cfg.freeze_bn = Liu et al. phase-2: ONLY encoder BN frozen
             # (running-average mode); decoder BN keeps training
             return model.apply(
                 v, x, m, train=True, freeze_enc_bn=cfg.freeze_bn,
-                mutable=["batch_stats"],
+                mutable=mutable,
             )
 
         # cfg.remat: 'none' keeps every U-Net activation for the
@@ -71,13 +77,15 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         (_, (terms, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, state.spectral, batch
         )
         state = state.apply_gradients(grads=grads)
         # decoder BN stats still update under freeze_bn (encoder stats
         # are untouched by flax when use_running_average=True)
         if updates.get("batch_stats") is not None:
             state = state.replace(batch_stats=updates["batch_stats"])
+        if updates.get("spectral") is not None:
+            state = state.replace(spectral=updates["spectral"])
         return state, terms
 
     return train_step
@@ -93,6 +101,8 @@ def make_inpaint_eval_step(model):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
+        if getattr(state, "spectral", None) is not None:
+            variables["spectral"] = state.spectral
         out = model.apply(variables, gt * mask, mask)
         comp = mask * gt + (1 - mask) * out.astype(jnp.float32)
         return {

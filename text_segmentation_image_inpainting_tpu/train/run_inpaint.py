@@ -51,6 +51,12 @@ def parse_args(argv=None):
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--freeze-bn", action="store_true", help="phase-2 fine-tune")
+    p.add_argument("--attention", action="store_true",
+                   help="SAGAN self-attention at the U-Net bottleneck "
+                        "(experiment track)")
+    p.add_argument("--attention-sn", action="store_true",
+                   help="spectral-normalize the attention projections "
+                        "(implies --attention)")
     p.add_argument("--pconv-impl", choices=["xla", "pallas"], default="xla")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -91,6 +97,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         depth=args.depth,
         freeze_bn=args.freeze_bn,
+        attention=args.attention or args.attention_sn,
+        attention_sn=args.attention_sn,
         bf16_compute=args.bf16,
         pconv_impl=args.pconv_impl,
         optimizer=OptimizerConfig(learning_rate=args.lr),
@@ -99,7 +107,10 @@ def main(argv=None):
     )
     mesh = make_mesh_for_batch(cfg.batch_size)
     dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
-    model = InpaintUNet(depth=cfg.depth, impl=cfg.pconv_impl, dtype=dtype)
+    model = InpaintUNet(
+        depth=cfg.depth, impl=cfg.pconv_impl, attention=cfg.attention,
+        attention_sn=cfg.attention_sn, dtype=dtype,
+    )
     vgg = VGG16Features(dtype=dtype)
 
     paths = None
@@ -167,6 +178,8 @@ def main(argv=None):
         snapshot = {"params": jax.device_get(state.params)}
         if state.batch_stats is not None:
             snapshot["batch_stats"] = jax.device_get(state.batch_stats)
+        if state.spectral is not None:
+            snapshot["spectral"] = jax.device_get(state.spectral)
         save_model(args.export, snapshot)
         print("exported model snapshot to", args.export)
     print("done:", int(state.step), "steps")

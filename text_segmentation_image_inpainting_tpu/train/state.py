@@ -19,6 +19,10 @@ from text_segmentation_image_inpainting_tpu.train.config import OptimizerConfig
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    # spectral-norm power-iteration state (u/v buffers) — present only
+    # when the model uses the experiments track's SpectralNormConv2d
+    # (InpaintUNet(attention_sn=True)); None otherwise
+    spectral: Any = None
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
@@ -72,6 +76,7 @@ def create_train_state(
         params=variables["params"],
         tx=tx,
         batch_stats=variables.get("batch_stats"),
+        spectral=variables.get("spectral"),
     )
 
 
