@@ -48,3 +48,17 @@ def test_run_seg_cli_inbatch_fallback(tmp_path, monkeypatch):
     ])
     rows = _rows(tmp_path / "logs" / "seg.jsonl")
     assert rows and all("iou" in r and "val_iou" not in r for r in rows)
+
+
+def test_evaluate_cli_model_flags(tmp_path, monkeypatch, capsys):
+    """evaluate CLI reconstructs non-default model geometry (xception
+    backbone, shallow attention U-Net) so trained variants are scorable."""
+    monkeypatch.chdir(tmp_path)
+    from text_segmentation_image_inpainting_tpu.train import evaluate
+
+    result = evaluate.main([
+        "--task", "seg", "--batches", "1", "--batch-size", "2", "--size", "64",
+        "--width-mult", "0.35", "--backbone", "xception", "--head", "deeplab",
+        "--depth", "3",
+    ])
+    assert 0.0 <= result["iou"] <= 1.0

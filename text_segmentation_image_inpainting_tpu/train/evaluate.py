@@ -28,6 +28,14 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--seg-ckpt", type=str, default=None)
     p.add_argument("--unet-ckpt", type=str, default=None)
+    # model geometry — must match the trained checkpoints
+    p.add_argument("--width-mult", type=float, default=1.0)
+    p.add_argument("--backbone", choices=("mobilenet_v2", "xception"),
+                   default="mobilenet_v2")
+    p.add_argument("--head", choices=("mini", "deeplab"), default="mini")
+    p.add_argument("--depth", type=int, default=8, help="inpaint U-Net depth")
+    p.add_argument("--attention", action="store_true")
+    p.add_argument("--attention-sn", action="store_true")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=1234)
     args = p.parse_args(argv)
@@ -37,8 +45,19 @@ def main(argv=None):
     from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
     from text_segmentation_image_inpainting_tpu.train.metrics import iou, psnr, ssim
 
+    from text_segmentation_image_inpainting_tpu.models import InpaintUNet, TextSegmenter
+
     size = (args.size, args.size)
-    pipe = TextRemovalPipeline()
+    pipe = TextRemovalPipeline(
+        seg=TextSegmenter(
+            width_mult=args.width_mult, backbone=args.backbone, head=args.head,
+            dtype=jnp.bfloat16,
+        ),
+        unet=InpaintUNet(
+            depth=args.depth, attention=args.attention or args.attention_sn,
+            attention_sn=args.attention_sn, dtype=jnp.bfloat16,
+        ),
+    )
     seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), size)
     if args.seg_ckpt:
         seg_vars = load_model(args.seg_ckpt, seg_vars)
