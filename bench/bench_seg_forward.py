@@ -23,11 +23,11 @@ from bench.common import TARGET_PAGES_PER_SEC_PER_CHIP, emit, emit_failure
 METRIC = "seg_forward_512px_pages_per_sec"
 
 
-def main(batch: int = 1, size: int = 512, k: int = 20):
+def main(batch: int = 1, size: int = 512, k: int = 20, backbone: str = "mobilenet_v2", head: str = "mini"):
     from bench.common import time_scan
     from text_segmentation_image_inpainting_tpu.models import TextSegmenter
 
-    seg = TextSegmenter(dtype=jnp.bfloat16)
+    seg = TextSegmenter(backbone=backbone, head=head, dtype=jnp.bfloat16)
     pages = jnp.asarray(
         np.random.default_rng(0).random((batch, size, size, 3), dtype=np.float32)
     ).astype(jnp.bfloat16)
@@ -37,16 +37,20 @@ def main(batch: int = 1, size: int = 512, k: int = 20):
     pages_per_sec = batch / dt
     emit(METRIC, pages_per_sec, "pages/s",
          pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP,
-         batch=batch, ms_per_batch=round(dt * 1e3, 3))
+         batch=batch, ms_per_batch=round(dt * 1e3, 3), backbone=backbone,
+         head=head)
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--backbone", default="mobilenet_v2",
+                   choices=("mobilenet_v2", "xception"))
+    p.add_argument("--head", default="mini", choices=("mini", "deeplab"))
     args = p.parse_args()
     try:
-        main(args.batch, args.size)
+        main(args.batch, args.size, backbone=args.backbone, head=args.head)
     except Exception as e:
         emit_failure(METRIC, "pages/s", e)
         raise

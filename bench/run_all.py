@@ -26,6 +26,10 @@ CONFIGS = [
     # only the mask-touched 32² tiles — the bytes lever on tunnel links
     ("7-serve-sparse", ["bench/bench_streaming.py", "--serve", "--pool", "4",
                         "--sparse", "96", "--trials", "3"]),
+    # alternative-encoder experiment track (SURVEY §2.1 extras): the
+    # heavier aligned-Xception backbone + DeepLab-v3+ ASPP head
+    ("8-seg-xception", ["bench/bench_seg_forward.py", "--backbone", "xception",
+                        "--head", "deeplab"]),
 ]
 
 
