@@ -163,3 +163,31 @@ def test_submit_chunked_sparse(rng):
         region = np.kron(tflags, np.ones((TILE, TILE))).astype(bool)
         np.testing.assert_array_equal(sc[region], dc[region])
         np.testing.assert_array_equal(sc[~region], pages[~region])
+
+
+def test_sparse_budget_larger_than_page_tile_count(rng):
+    """sparse_tiles bigger than the page's tile count (e.g. the K=96
+    default serving 32² test pages with 4 tiles): sparse_pack clamps its
+    slot count to the page, so the server must unflatten with the same
+    clamp instead of asserting on the buffer width."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    batches = [rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8) for _ in range(2)]
+    dense = list(PageStreamServer(pipe, seg_vars, unet_vars).serve(iter(batches)))
+    sparse = list(
+        PageStreamServer(
+            pipe, seg_vars, unet_vars, sparse_tiles=9, tile=TILE
+        ).serve(iter(batches))
+    )
+    for pages, (dc, dm), (sc, sm) in zip(batches, dense, sparse):
+        np.testing.assert_array_equal(sm, dm)
+        n = pages.shape[0]
+        tflags = dm[..., 0].reshape(n, 2, TILE, 2, TILE).max(axis=(2, 4))
+        region = np.kron(tflags, np.ones((TILE, TILE))).astype(bool)
+        np.testing.assert_array_equal(sc[region], dc[region])
+        np.testing.assert_array_equal(sc[~region], pages[~region])
+
+
+def test_sparse_server_rejects_unpackable_tile():
+    pipe, seg_vars, unet_vars = small_pipe()
+    with pytest.raises(ValueError, match="tile % 8"):
+        PageStreamServer(pipe, seg_vars, unet_vars, sparse_tiles=4, tile=20)

@@ -80,6 +80,9 @@ class PageStreamServer:
         self._tile = tile
         if self._sparse and not output_uint8:
             raise ValueError("sparse_tiles requires output_uint8=True (uint8 wire format)")
+        if self._sparse and tile % 8 != 0:
+            # the wire format packs mask pixels 8/byte along the tile row
+            raise ValueError(f"sparse serving needs tile % 8 == 0, got tile={tile}")
         # in-flight entries: (chunked, sparse, device_result, host_pages_u8|None)
         self._inflight: collections.deque = collections.deque()
         self._done: collections.deque = collections.deque()
@@ -178,14 +181,19 @@ class PageStreamServer:
         return len(self._inflight) > self._depth
 
     def _materialize_sparse(self, buf, host) -> Tuple[np.ndarray, np.ndarray]:
-        packed = sparse_unflatten(
-            np.asarray(buf), max_tiles=self._sparse, tile=self._tile
-        )
+        # sparse_pack clamps its slot count to the page's tile count, so
+        # unflatten with the same clamp (a 256² page has 64 tiles — a
+        # K=96 budget must not be read back as 96 slots)
+        h, w = host.shape[1:3]
+        k = min(self._sparse, (h // self._tile) * (w // self._tile))
+        packed = sparse_unflatten(np.asarray(buf), max_tiles=k, tile=self._tile)
         clean, mask, overflow = sparse_recompose(host, packed, tile=self._tile)
         if overflow.any():
             # rare: more changed tiles than the static budget — redo the
-            # whole batch densely and keep the dense overflowed pages
-            dc, dm = self._run(self._seg_vars, self._unet_vars, jnp.asarray(host))
+            # whole batch densely and keep the dense overflowed pages.
+            # Honor the server's sharding: jnp.asarray would compile a
+            # second (unsharded) executable and run on one device.
+            dc, dm = self._run(self._seg_vars, self._unet_vars, self._device_put(host))
             dc, dm = np.asarray(dc), np.asarray(dm)
             clean[overflow], mask[overflow] = dc[overflow], dm[overflow]
         return clean, mask

@@ -125,5 +125,11 @@ def main(argv=None):
     return result
 
 
+def cli(argv=None) -> None:
+    """Console-script entry: setuptools wraps the return value in
+    ``sys.exit`` — ``main``'s result dict would read as exit status 1."""
+    main(argv)
+
+
 if __name__ == "__main__":
     main()

@@ -30,6 +30,7 @@ from text_segmentation_image_inpainting_tpu.parallel import (
     replicated,
 )
 from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
+from text_segmentation_image_inpainting_tpu.losses.inpainting import InpaintLossConfig
 from text_segmentation_image_inpainting_tpu.train.config import (
     InpaintTrainConfig,
     OptimizerConfig,
@@ -100,6 +101,10 @@ def main(argv=None):
         attention=args.attention or args.attention_sn,
         attention_sn=args.attention_sn,
         bf16_compute=args.bf16,
+        # --no-bf16 means a fully fp32 step: the config's bf16-VGG
+        # training default must follow the flag, or the fp32 debug path
+        # silently keeps bf16-rounded perceptual/style gradients
+        loss=InpaintLossConfig(vgg_dtype="bfloat16" if args.bf16 else "float32"),
         pconv_impl=args.pconv_impl,
         optimizer=OptimizerConfig(learning_rate=args.lr),
         checkpoint_every=args.ckpt_every,
