@@ -278,3 +278,18 @@ def test_inpaint_train_step_attention_sn_driver_path():
     # eval path reads (doesn't mutate) the spectral collection
     ev = jax.jit(make_inpaint_eval_step(model))(state, batch)
     assert np.isfinite(float(ev["psnr"]))
+
+
+def test_spectral_norm_zero_power_iterations():
+    """torch's n_power_iterations=0 is valid ('use stored u/v, never
+    iterate') — training forwards must not crash and must not move u/v."""
+    model = SpectralNormConv2d(8, 3, n_power_iterations=0)
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(5), x)
+    y, mut = model.apply(variables, x, update_stats=True, mutable=["spectral"])
+    assert bool(jnp.isfinite(y).all())
+    np.testing.assert_array_equal(
+        np.asarray(mut["spectral"]["u"]), np.asarray(variables["spectral"]["u"])
+    )

@@ -240,3 +240,44 @@ class TestFusedUp2AndS2D:
             )
         )
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+def test_up2_bf16_mask_counts_exact(rng):
+    """bf16 fused up2 must carry EXACT window counts: raw per-bank tap
+    counts (<= 9) ride the GEMM and the c_lo/c_skip weighting happens in
+    f32. The old weighted-count form rounded values like 64*9 + 3*9 in
+    the bf16 conv output (~0.39% renorm skew on top of the ~0.44%
+    feature rounding at this seed; this bound catches a regression)."""
+    from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+        partial_conv2d,
+        partial_conv2d_up2,
+    )
+    from text_segmentation_image_inpainting_tpu.ops.resize import upsample_nearest
+
+    r = np.random.default_rng(0)
+    n, hh, wh, c_lo, c_skip, cout = 2, 16, 16, 64, 3, 8  # RGB-skip head level
+    f_lo = r.standard_normal((n, hh, wh, c_lo)).astype(np.float32)
+    m_lo = (r.random((n, hh, wh, 1)) > 0.4).astype(np.float32)
+    sf = r.standard_normal((n, 2 * hh, 2 * wh, c_skip)).astype(np.float32)
+    sm = (r.random((n, 2 * hh, 2 * wh, 1)) > 0.4).astype(np.float32)
+    w = (r.standard_normal((3, 3, c_lo + c_skip, cout)) * 0.1).astype(np.float32)
+    b = r.standard_normal((cout,)).astype(np.float32)
+
+    cat_f = jnp.concatenate([upsample_nearest(jnp.asarray(f_lo), 2), jnp.asarray(sf)], -1)
+    cat_m = jnp.concatenate([upsample_nearest(jnp.asarray(m_lo), 2), jnp.asarray(sm)], -1)
+    ref, refm = partial_conv2d(
+        cat_f, cat_m, jnp.asarray(w), jnp.asarray(b),
+        group_sizes=(c_lo, c_skip), padding=1,
+    )
+    ref = np.asarray(ref, np.float32)
+
+    y, m = jax.jit(
+        lambda: partial_conv2d_up2(
+            jnp.asarray(f_lo, jnp.bfloat16), jnp.asarray(m_lo),
+            jnp.asarray(sf, jnp.bfloat16), jnp.asarray(sm),
+            jnp.asarray(w, jnp.bfloat16), jnp.asarray(b),
+        )
+    )()
+    rel = np.abs(np.asarray(y, np.float32) - ref).max() / np.abs(ref).max()
+    assert rel < 0.0055, f"bf16 fused up2 error {rel:.4%} — count path no longer exact?"
+    np.testing.assert_array_equal(np.asarray(m, np.float32), np.asarray(refm, np.float32))

@@ -158,8 +158,21 @@ def import_xception_encoder(
     return v.done()
 
 
-def import_text_segmenter(sd: StateDict, *, backbone: str = "mobilenet_v2") -> dict:
-    """Oracle/reference TextSegmenter (encoder+decoder) -> flax variables."""
+def import_text_segmenter(
+    sd: StateDict, *, backbone: str = "mobilenet_v2", head: str = "mini"
+) -> dict:
+    """Oracle/reference TextSegmenter (encoder+decoder) -> flax variables.
+
+    Only the reference-era ``head='mini'`` decoder layout exists in
+    torch form; the DeepLab-v3+ head is this framework's extension with
+    no upstream state_dict to import — rejected cleanly here instead of
+    failing with a raw KeyError mid-import."""
+    if head != "mini":
+        raise ValueError(
+            f"import_text_segmenter: no torch-era layout exists for head={head!r}; "
+            "only 'mini' checkpoints are importable (the DeepLab head is a "
+            "framework extension — train it natively)"
+        )
     if backbone == "xception":
         enc = import_xception_encoder(sd, prefix="encoder.", path=("encoder",))
     else:

@@ -121,6 +121,30 @@ class PageSource:
         return {"image": img, "mask": mask}
 
 
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def list_image_paths(data_dir: str) -> list[str]:
+    """Recursive, case-insensitive image scan for the CLI --data-dir
+    flags. Raises ``SystemExit`` when nothing matches: silently falling
+    back to synthetic pages trained the wrong data (review finding,
+    round 3) — a typo'd path must fail loudly."""
+    import os
+
+    paths = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(data_dir)
+        for f in files
+        if f.lower().endswith(IMAGE_EXTS)
+    )
+    if not paths:
+        raise SystemExit(
+            f"--data-dir {data_dir}: no image files found "
+            f"(extensions {', '.join(IMAGE_EXTS)}, case-insensitive)"
+        )
+    return paths
+
+
 def make_dataset(
     kind: str,
     *,

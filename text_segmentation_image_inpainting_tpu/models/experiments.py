@@ -56,6 +56,8 @@ def spectral_sigma(weight_mat: jnp.ndarray, u: jnp.ndarray, *, n_iter: int = 1):
     buffers), and only the final bilinear form sees the differentiable
     W — so ``d sigma / dW == u v^T``, not the power-iteration chain rule.
     """
+    if n_iter < 1:
+        raise ValueError(f"spectral_sigma needs n_iter >= 1, got {n_iter}")
     w32 = weight_mat.astype(jnp.float32)
     w_iter = jax.lax.stop_gradient(w32)
     u = jax.lax.stop_gradient(u.astype(jnp.float32))
@@ -108,7 +110,12 @@ class SpectralNormConv2d(nn.Module):
             # eval-from-init is well defined (v starts as zeros otherwise)
             _, u0, v0 = spectral_sigma(wmat, u.value, n_iter=1)
             u.value, v.value = u0, v0
-        if update_stats and not self.is_initializing():
+        if (
+            update_stats
+            and self.n_power_iterations > 0  # torch n_power_iterations=0:
+            # training forwards use the STORED u/v, same as eval
+            and not self.is_initializing()
+        ):
             sigma, u_new, v_new = spectral_sigma(
                 wmat, u.value, n_iter=self.n_power_iterations
             )

@@ -499,24 +499,33 @@ def partial_conv2d_up2(
     w_feat = jnp.concatenate(
         [_up2_phase_kernel(w_lo), _s2d_phase_kernel(w_skip)], axis=2
     )  # (2, 2, c_lo + 4*c_skip, 4*cout)
+    # RAW per-bank tap counts (<= 9 per phase window) ride the same GEMM
+    # in bf16 exactly; the c_lo/c_skip weighting happens in the f32
+    # epilogue. Weighted bf16 counts (the old form) rounded at values
+    # like 603 (64*9 + 3*9 at the RGB-skip head level) — a systematic
+    # ~0.3% renorm error that broke the documented fused==unfused
+    # identity (round-3 review finding).
+    w_cnt_lo = _up2_phase_kernel(ones31)  # (2, 2, 1, 4)
+    w_cnt_sk = _s2d_phase_kernel(ones31)  # (2, 2, 4, 4)
     w_ones = jnp.concatenate(
         [
-            float(c_lo) * _up2_phase_kernel(ones31),
-            float(c_skip) * _s2d_phase_kernel(ones31),
+            jnp.concatenate([w_cnt_lo, jnp.zeros((2, 2, 1, 4), jnp.float32)], axis=3),
+            jnp.concatenate([jnp.zeros((2, 2, 4, 4), jnp.float32), w_cnt_sk], axis=3),
         ],
         axis=2,
-    ).astype(dt)  # (2, 2, 1 + 4, 4)
+    ).astype(dt)  # (2, 2, 1 + 4, 4 + 4)
     cf = c_lo + 4 * c_skip
     w_all = jnp.concatenate(
         [
-            jnp.concatenate([w_feat, jnp.zeros((2, 2, cf, 4), dt)], axis=3),
+            jnp.concatenate([w_feat, jnp.zeros((2, 2, cf, 8), dt)], axis=3),
             jnp.concatenate([jnp.zeros((2, 2, 5, 4 * cout), dt), w_ones], axis=3),
         ],
         axis=2,
-    )  # (2, 2, cf + 5, 4*cout + 4)
+    )  # (2, 2, cf + 5, 4*cout + 8)
     all_ph = conv(feat_in, w_all)
     feat_ph = all_ph[..., : 4 * cout]  # (N, Hh+1, Wh+1, 4*Cout)
-    msum_ph = all_ph[..., 4 * cout :].astype(jnp.float32)  # (N, Hh+1, Wh+1, 4)
+    cnt = all_ph[..., 4 * cout :].astype(jnp.float32)  # (N, Hh+1, Wh+1, 8)
+    msum_ph = float(c_lo) * cnt[..., :4] + float(c_skip) * cnt[..., 4:]
 
     # renorm/bias/zero epilogue in phase space (4x less traffic than at
     # full res, and only the final bf16 result is interleaved)

@@ -39,16 +39,18 @@ from text_segmentation_image_inpainting_tpu.parallel.mesh import DATA_AXIS
 
 def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     """Concatenate ``halo`` rows from each H-neighbor: (N,Hl,W,C) ->
-    (N, Hl+2*halo, W, C). Ring ends receive zeros (= global zero pad)."""
+    (N, Hl+2*halo, W, C). Ring ends receive zeros (= global zero pad).
+
+    Symmetric-halo wrapper over the one ring implementation
+    (``ops.partial_conv._halo_exchange_rows``, which also serves the
+    asymmetric stride-2 halos) — a single place owns the ppermute logic."""
     if halo <= 0:
         return x
-    n_dev = lax.axis_size(axis_name)
-    # my bottom rows go DOWN to the next device (they become its top halo)
-    down_perm = [(i, i + 1) for i in range(n_dev - 1)]
-    up_perm = [(i + 1, i) for i in range(n_dev - 1)]
-    from_above = lax.ppermute(x[:, -halo:], axis_name, down_perm)
-    from_below = lax.ppermute(x[:, :halo], axis_name, up_perm)
-    return jnp.concatenate([from_above, x, from_below], axis=1)
+    from text_segmentation_image_inpainting_tpu.ops.partial_conv import (
+        _halo_exchange_rows,
+    )
+
+    return _halo_exchange_rows(x, halo, halo, axis_name)
 
 
 def _local_partial_conv(x, mask, kernel, bias, group_sizes, pad_w, axis_name):

@@ -33,6 +33,7 @@ class SegTrainConfig:
     batch_size: int = 8
     width_mult: float = 1.0
     output_stride: int = 8
+    decoder_mid: int = 128  # decoder trunk width (mini-ASPP; >=256 for deeplab)
     backbone: str = "mobilenet_v2"  # or "xception" (alternative-encoder track)
     head: str = "mini"  # or "deeplab" (full ASPP + v3+ decoder)
     bce_weight: float = 1.0

@@ -4,10 +4,12 @@
         --task seg|inpaint|pipeline --batches 8 \
         [--seg-ckpt ... --unet-ckpt ...]
 
-Computes mask IoU / precision / recall (segmentation), PSNR / SSIM / L1
-(inpainting), or all of them through the fused pipeline, over a
-deterministic synthetic validation set (or ``--data-dir`` images).
-Prints one JSON line for scripting.
+Computes mask IoU / precision / recall (``--task seg``), PSNR / SSIM /
+L1 (``--task inpaint``), or the pipeline's end-to-end ``mask_iou``
+(``--task pipeline`` — the seg-style dataset has no clean ground-truth
+page, so reconstruction metrics are only defined for the inpaint task),
+over a deterministic synthetic validation set (or ``--data-dir``
+images). Prints one JSON line for scripting.
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ def main(argv=None):
     p.add_argument("--backbone", choices=("mobilenet_v2", "xception"),
                    default="mobilenet_v2")
     p.add_argument("--head", choices=("mini", "deeplab"), default="mini")
+    p.add_argument("--output-stride", type=int, default=8, choices=(8, 16, 32))
+    p.add_argument("--decoder-mid", type=int, default=128)
     p.add_argument("--depth", type=int, default=8, help="inpaint U-Net depth")
     p.add_argument("--attention", action="store_true")
     p.add_argument("--attention-sn", action="store_true")
@@ -40,7 +44,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     args = p.parse_args(argv)
 
-    from text_segmentation_image_inpainting_tpu.data.pipeline import make_dataset
+    from text_segmentation_image_inpainting_tpu.data.pipeline import (
+        list_image_paths,
+        make_dataset,
+    )
     from text_segmentation_image_inpainting_tpu.models.base import load_model
     from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
     from text_segmentation_image_inpainting_tpu.train.metrics import iou, psnr, ssim
@@ -50,7 +57,8 @@ def main(argv=None):
     size = (args.size, args.size)
     pipe = TextRemovalPipeline(
         seg=TextSegmenter(
-            width_mult=args.width_mult, backbone=args.backbone, head=args.head,
+            width_mult=args.width_mult, output_stride=args.output_stride,
+            decoder_mid=args.decoder_mid, backbone=args.backbone, head=args.head,
             dtype=jnp.bfloat16,
         ),
         unet=InpaintUNet(
@@ -67,16 +75,7 @@ def main(argv=None):
     kind = "seg" if args.task == "seg" else "inpaint"
     if args.task == "pipeline":
         kind = "seg"  # pipeline eval consumes (page_with_text, gt_text_mask)
-    paths = None
-    if args.data_dir:
-        import glob as _glob
-
-        paths = sorted(
-            _glob.glob(f"{args.data_dir}/**/*.png", recursive=True)
-            + _glob.glob(f"{args.data_dir}/**/*.jpg", recursive=True)
-        )
-        if not paths:
-            raise SystemExit(f"--data-dir {args.data_dir}: no .png/.jpg images found")
+    paths = list_image_paths(args.data_dir) if args.data_dir else None
     it = make_dataset(
         kind, batch_size=args.batch_size, size=size, seed=args.seed, paths=paths
     )

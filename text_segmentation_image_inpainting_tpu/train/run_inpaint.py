@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from text_segmentation_image_inpainting_tpu.data.pipeline import (
     DevicePrefetcher,
+    list_image_paths,
     make_dataset,
 )
 from text_segmentation_image_inpainting_tpu.models import InpaintUNet, VGG16Features
@@ -118,14 +119,7 @@ def main(argv=None):
     )
     vgg = VGG16Features(dtype=dtype)
 
-    paths = None
-    if args.data_dir:
-        import glob as _glob
-
-        paths = sorted(
-            _glob.glob(f"{args.data_dir}/**/*.png", recursive=True)
-            + _glob.glob(f"{args.data_dir}/**/*.jpg", recursive=True)
-        )
+    paths = list_image_paths(args.data_dir) if args.data_dir else None
     host_it = make_dataset(
         "inpaint", batch_size=cfg.batch_size, size=cfg.image_size, seed=args.seed,
         paths=paths,
@@ -159,20 +153,32 @@ def main(argv=None):
 
     t0 = time.time()
     first_step = int(state.step)
+    window_start = first_step  # true step count per window: resume can
+    # land mid-window, and the compile step is excluded below — a fixed
+    # log_every numerator over-reported pages/s in both cases
     for step in range(first_step, args.steps):
         batch = next(prefetch)
         state, metrics = train_step(state, batch)
         if step == first_step:
             t0 = time.time()  # exclude jit compile from the first rate
+            window_start = step + 1
         if (step + 1) % cfg.log_every == 0:
+            # snapshot BEFORE eval so val scoring time never pollutes
+            # the reported train throughput
+            train_elapsed = time.time() - t0
+            steps_in_window = step + 1 - window_start
             m = {k: float(v) for k, v in metrics.items()}
             if val_batches:
                 m.update(scored_eval(eval_step, state, val_batches))
             else:
                 m.update(scored_eval(eval_step, state, [batch], prefix=""))
-            m["pages_per_sec"] = cfg.log_every * cfg.batch_size / (time.time() - t0)
+            if steps_in_window > 0:
+                m["pages_per_sec"] = (
+                    steps_in_window * cfg.batch_size / max(train_elapsed, 1e-9)
+                )
             logger.log(step + 1, m)
             t0 = time.time()
+            window_start = step + 1
         ckpt.save(step + 1, state)
     ckpt.wait()
     ckpt.close()

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from text_segmentation_image_inpainting_tpu.data.pipeline import (
+    list_image_paths,
     DevicePrefetcher,
     make_dataset,
 )
@@ -52,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--width-mult", type=float, default=1.0)
     p.add_argument("--backbone", choices=("mobilenet_v2", "xception"), default="mobilenet_v2")
     p.add_argument("--head", choices=("mini", "deeplab"), default="mini")
+    p.add_argument("--output-stride", type=int, default=8, choices=(8, 16, 32))
+    p.add_argument("--decoder-mid", type=int, default=128)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--pos-weight", type=float, default=3.0)
     p.add_argument("--freeze-encoder", action="store_true")
@@ -78,6 +81,8 @@ def main(argv=None):
         width_mult=args.width_mult,
         backbone=args.backbone,
         head=args.head,
+        output_stride=args.output_stride,
+        decoder_mid=args.decoder_mid,
         pos_weight=args.pos_weight,
         freeze_encoder=args.freeze_encoder,
         bf16_compute=args.bf16,
@@ -88,17 +93,12 @@ def main(argv=None):
     mesh = make_mesh_for_batch(cfg.batch_size)
     dtype = jnp.bfloat16 if cfg.bf16_compute else jnp.float32
     model = TextSegmenter(
-        width_mult=cfg.width_mult, backbone=cfg.backbone, head=cfg.head, dtype=dtype
+        width_mult=cfg.width_mult, output_stride=cfg.output_stride,
+        decoder_mid=cfg.decoder_mid, backbone=cfg.backbone, head=cfg.head,
+        dtype=dtype,
     )
 
-    paths = None
-    if args.data_dir:
-        import glob as _glob
-
-        paths = sorted(
-            _glob.glob(f"{args.data_dir}/**/*.png", recursive=True)
-            + _glob.glob(f"{args.data_dir}/**/*.jpg", recursive=True)
-        )
+    paths = list_image_paths(args.data_dir) if args.data_dir else None
     host_it = make_dataset(
         "seg", batch_size=cfg.batch_size, size=cfg.image_size, seed=args.seed, paths=paths
     )
@@ -127,20 +127,32 @@ def main(argv=None):
 
     t0 = time.time()
     first_step = int(state.step)
+    window_start = first_step  # true step count per window: resume can
+    # land mid-window, and the compile step is excluded below — a fixed
+    # log_every numerator over-reported pages/s in both cases
     for step in range(first_step, args.steps):
         batch = next(prefetch)
         state, metrics = train_step(state, batch)
         if step == first_step:
             t0 = time.time()  # exclude jit compile from the first rate
+            window_start = step + 1
         if (step + 1) % cfg.log_every == 0:
+            # snapshot BEFORE eval so val scoring time never pollutes
+            # the reported train throughput
+            train_elapsed = time.time() - t0
+            steps_in_window = step + 1 - window_start
             m = {k: float(v) for k, v in metrics.items()}
             if val_batches:
                 m.update(scored_eval(eval_step, state, val_batches))
             else:
                 m.update(scored_eval(eval_step, state, [batch], prefix=""))
-            m["pages_per_sec"] = cfg.log_every * cfg.batch_size / (time.time() - t0)
+            if steps_in_window > 0:
+                m["pages_per_sec"] = (
+                    steps_in_window * cfg.batch_size / max(train_elapsed, 1e-9)
+                )
             logger.log(step + 1, m)
             t0 = time.time()
+            window_start = step + 1
         ckpt.save(step + 1, state)
     ckpt.wait()
     ckpt.close()

@@ -44,9 +44,19 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     else:
         lr = cfg.learning_rate
     if cfg.amsgrad:
-        opt = optax.amsgrad(lr, b1=cfg.beta1, b2=cfg.beta2)
         if cfg.weight_decay:
-            opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+            # decoupled (AdamW-style) decay, SAME semantics as the
+            # adamw branch below: decay is added AFTER the moment
+            # rescaling, so flipping amsgrad changes only the moment
+            # rule, not the regularizer (add_decayed_weights BEFORE
+            # amsgrad would be classic L2 folded into the moments)
+            opt = optax.chain(
+                optax.scale_by_amsgrad(b1=cfg.beta1, b2=cfg.beta2),
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_learning_rate(lr),
+            )
+        else:
+            opt = optax.amsgrad(lr, b1=cfg.beta1, b2=cfg.beta2)
     elif cfg.weight_decay:
         opt = optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay)
     else:
