@@ -16,6 +16,7 @@ forced by reading one scalar back to host.
 from __future__ import annotations
 
 import json
+import threading
 import time
 
 import os
@@ -38,8 +39,44 @@ K = 20  # pipeline iterations per timed call
 TARGET_PAGES_PER_SEC_PER_CHIP = 125.0
 
 
+def _arm_watchdog(seconds: float) -> threading.Event:
+    """Emit the parseable failure record and hard-exit if the run wedges.
+
+    During an axon-tunnel outage any backend init hangs forever in a
+    C-level retry loop (docs/STATUS.md gotchas) — uninterruptible from
+    Python — so without this the driver's bench run would hang instead
+    of recording an error. The deadline must cover a cold remote-AOT
+    compile (minutes); override via BENCH_WATCHDOG_S.
+    """
+    done = threading.Event()
+
+    def _fire():
+        if not done.wait(seconds):
+            print(
+                json.dumps(
+                    {
+                        "metric": "fused_segment_dilate_inpaint_512px_pages_per_sec_per_chip",
+                        "value": 0.0,
+                        "unit": "pages/s",
+                        "vs_baseline": 0.0,
+                        "error": (
+                            f"watchdog: no result within {seconds:.0f}s "
+                            "(axon tunnel down or compile wedged)"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done
+
+
 def main():
     from text_segmentation_image_inpainting_tpu.pipeline import TextRemovalPipeline
+
+    watchdog_done = _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1500")))
 
     pipe = TextRemovalPipeline()
     seg_vars, unet_vars = pipe.init_variables(jax.random.key(0), page_hw=(SIZE, SIZE))
@@ -69,6 +106,7 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     pages_per_sec = BATCH * K / dt
 
+    watchdog_done.set()
     print(
         json.dumps(
             {

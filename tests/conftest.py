@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+from text_segmentation_image_inpainting_tpu.utils.hermetic import (  # noqa: E402
+    drop_non_cpu_backends,
+)
+
+# Deregister the tunneled-TPU backend before anything initializes: the
+# suite is CPU-only, and during a tunnel outage even jax.devices("cpu")
+# hangs inside the plugin's init retry loop (docs/STATUS.md gotchas).
+# Falls through harmlessly if a backend is already live.
+drop_non_cpu_backends()
+
 jax.config.update("jax_default_matmul_precision", "highest")
 _cpus = jax.devices("cpu")
 assert len(_cpus) == 8, f"expected 8 virtual CPU devices, got {len(_cpus)}"

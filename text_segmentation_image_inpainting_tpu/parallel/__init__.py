@@ -6,6 +6,7 @@ from text_segmentation_image_inpainting_tpu.parallel.mesh import (
     make_mesh_for_batch,
     replicated,
     shard_batch,
+    stacked_batch_sharding,
 )
 from text_segmentation_image_inpainting_tpu.parallel.stage_pipeline import (
     make_stage_mesh,
@@ -20,6 +21,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "stacked_batch_sharding",
     "make_stage_mesh",
     "pipeline2_run",
 ]

@@ -78,6 +78,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a multi-step super-batch ``(k, batch, ...)``: the
+    leading step axis stays replicated (it is consumed sequentially by
+    ``lax.scan``), the batch axis shards like ``batch_sharding``."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(None, (DCN_AXIS, DATA_AXIS)))
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (params, opt state)."""
     return NamedSharding(mesh, P())

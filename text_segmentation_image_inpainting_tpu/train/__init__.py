@@ -5,6 +5,10 @@ from text_segmentation_image_inpainting_tpu.train.config import (
 from text_segmentation_image_inpainting_tpu.train.state import TrainState, create_train_state
 from text_segmentation_image_inpainting_tpu.train.seg import make_seg_train_step
 from text_segmentation_image_inpainting_tpu.train.inpaint import make_inpaint_train_step
+from text_segmentation_image_inpainting_tpu.train.multistep import (
+    make_multi_step,
+    stack_host_batches,
+)
 
 __all__ = [
     "SegTrainConfig",
@@ -13,4 +17,6 @@ __all__ = [
     "create_train_state",
     "make_seg_train_step",
     "make_inpaint_train_step",
+    "make_multi_step",
+    "stack_host_batches",
 ]

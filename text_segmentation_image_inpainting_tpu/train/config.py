@@ -41,6 +41,11 @@ class SegTrainConfig:
     focal_weight: float = 0.0
     pos_weight: float | None = 3.0  # text pixels are rare
     freeze_encoder: bool = False  # staged training (SURVEY.md C11)
+    # microbatched gradient accumulation: split each batch into
+    # grad_accum microbatches, average their grads, apply ONE optimizer
+    # update (use with remat/'big' effective batches on tight HBM);
+    # BN uses per-microbatch statistics — standard accumulation semantics
+    grad_accum: int = 1
     optimizer: OptimizerConfig = OptimizerConfig()
     bf16_compute: bool = True
     checkpoint_every: int = 500
@@ -67,6 +72,8 @@ class InpaintTrainConfig:
     # the TrainState like BN stats)
     attention: bool = False
     attention_sn: bool = False
+    # microbatched gradient accumulation (see SegTrainConfig.grad_accum)
+    grad_accum: int = 1
     optimizer: OptimizerConfig = OptimizerConfig()
     bf16_compute: bool = True
     pconv_impl: str = "xla"  # 'xla' | 'pallas'

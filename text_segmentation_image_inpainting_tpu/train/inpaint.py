@@ -76,9 +76,27 @@ def make_inpaint_train_step(model, cfg: InpaintTrainConfig, vgg_variables: Any):
         return loss, (terms, updates)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
-        (_, (terms, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, state.spectral, batch
-        )
+        if cfg.grad_accum > 1:
+            from text_segmentation_image_inpainting_tpu.train.accum import (
+                accumulate_grads,
+            )
+
+            def grad_fn(params, aux, mb):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, aux["batch_stats"], aux["spectral"], mb
+                )
+
+            grads, terms, updates = accumulate_grads(
+                grad_fn,
+                state.params,
+                {"batch_stats": state.batch_stats, "spectral": state.spectral},
+                batch,
+                cfg.grad_accum,
+            )
+        else:
+            (_, (terms, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, state.spectral, batch
+            )
         state = state.apply_gradients(grads=grads)
         # decoder BN stats still update under freeze_bn (encoder stats
         # are untouched by flax when use_running_average=True)

@@ -29,6 +29,12 @@ from text_segmentation_image_inpainting_tpu.parallel import (
     batch_sharding,
     make_mesh_for_batch,
     replicated,
+    stacked_batch_sharding,
+)
+from text_segmentation_image_inpainting_tpu.train.multistep import (
+    clamp_steps_per_dispatch,
+    make_multi_step,
+    stack_host_batches,
 )
 from text_segmentation_image_inpainting_tpu.train.checkpoint import CheckpointManager
 from text_segmentation_image_inpainting_tpu.losses.inpainting import InpaintLossConfig
@@ -60,6 +66,18 @@ def parse_args(argv=None):
                    help="spectral-normalize the attention projections "
                         "(implies --attention)")
     p.add_argument("--pconv-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into k microbatches, average "
+                        "their grads, apply ONE optimizer update (pairs "
+                        "with --remat full for big batches/pages on "
+                        "tight HBM)")
+    p.add_argument("--remat", choices=["none", "full"], default="none",
+                   help="U-Net activation rematerialization in the "
+                        "backward (docs/KERNEL_NOTES.md round 3)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="scan k train steps inside ONE jit dispatch "
+                        "(amortizes per-dispatch host cost; clamped to "
+                        "divide --log-every and --ckpt-every)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--vgg-ckpt", type=str, default=None, help="torchvision vgg16 .pth")
@@ -101,6 +119,8 @@ def main(argv=None):
         freeze_bn=args.freeze_bn,
         attention=args.attention or args.attention_sn,
         attention_sn=args.attention_sn,
+        grad_accum=args.grad_accum,
+        remat=args.remat,
         bf16_compute=args.bf16,
         # --no-bf16 means a fully fp32 step: the config's bf16-VGG
         # training default must follow the flag, or the fp32 debug path
@@ -119,12 +139,24 @@ def main(argv=None):
     )
     vgg = VGG16Features(dtype=dtype)
 
+    if cfg.batch_size % cfg.grad_accum != 0:
+        raise SystemExit(
+            f"--grad-accum {cfg.grad_accum} must divide --batch-size {cfg.batch_size}"
+        )
+    spd = clamp_steps_per_dispatch(
+        args.steps_per_dispatch, cfg.log_every, cfg.checkpoint_every
+    )
+    if spd != args.steps_per_dispatch:
+        print(
+            f"steps-per-dispatch clamped {args.steps_per_dispatch} -> {spd} "
+            "(must divide --log-every and --ckpt-every)"
+        )
+
     paths = list_image_paths(args.data_dir) if args.data_dir else None
     host_it = make_dataset(
         "inpaint", batch_size=cfg.batch_size, size=cfg.image_size, seed=args.seed,
         paths=paths,
     )
-    prefetch = DevicePrefetcher(host_it, batch_sharding(mesh))
 
     k0, k1 = jax.random.split(jax.random.key(args.seed))
     sample = jnp.zeros((1, *cfg.image_size, 3), jnp.float32)
@@ -140,8 +172,26 @@ def main(argv=None):
     state, restored_step = ckpt.restore_latest(state)
     if restored_step is not None:
         print(f"resumed from step {restored_step}")
+    first_step = int(state.step)
+    if spd > 1 and first_step % spd != 0:
+        # resume normally lands on a checkpoint multiple (spd divides
+        # ckpt-every), but a hand-placed checkpoint may not — keep the
+        # log/ckpt edges exact rather than drift them
+        print(f"steps-per-dispatch disabled: resumed step {first_step} not a multiple of {spd}")
+        spd = 1
 
-    train_step = jax.jit(make_inpaint_train_step(model, cfg, vgg_vars), donate_argnums=0)
+    if spd > 1:
+        prefetch = DevicePrefetcher(
+            stack_host_batches(host_it, spd), stacked_batch_sharding(mesh)
+        )
+    else:
+        prefetch = DevicePrefetcher(host_it, batch_sharding(mesh))
+
+    step_fn = make_inpaint_train_step(model, cfg, vgg_vars)
+    if spd > 1:
+        train_step = jax.jit(make_multi_step(step_fn), donate_argnums=0)
+    else:
+        train_step = jax.jit(step_fn, donate_argnums=0)
     eval_step = jax.jit(make_inpaint_eval_step(model))
     logger = MetricLogger("inpaint")
 
@@ -152,34 +202,43 @@ def main(argv=None):
     )
 
     t0 = time.time()
-    first_step = int(state.step)
     window_start = first_step  # true step count per window: resume can
     # land mid-window, and the compile step is excluded below — a fixed
     # log_every numerator over-reported pages/s in both cases
-    for step in range(first_step, args.steps):
+    end_step = args.steps
+    if spd > 1:
+        end_step = first_step + max(0, args.steps - first_step) // spd * spd
+        if end_step != args.steps:
+            print(f"--steps truncated {args.steps} -> {end_step} "
+                  "(multiple of steps-per-dispatch)")
+    for step in range(first_step, end_step, spd):
         batch = next(prefetch)
         state, metrics = train_step(state, batch)
+        done = step + spd
+        if spd > 1:
+            # metrics come back stacked (spd,); report the freshest step
+            metrics = jax.tree.map(lambda x: x[-1], metrics)
         if step == first_step:
             t0 = time.time()  # exclude jit compile from the first rate
-            window_start = step + 1
-        if (step + 1) % cfg.log_every == 0:
+            window_start = done
+        if done % cfg.log_every == 0:
             # snapshot BEFORE eval so val scoring time never pollutes
             # the reported train throughput
             train_elapsed = time.time() - t0
-            steps_in_window = step + 1 - window_start
+            steps_in_window = done - window_start
             m = {k: float(v) for k, v in metrics.items()}
             if val_batches:
                 m.update(scored_eval(eval_step, state, val_batches))
-            else:
+            elif spd == 1:
                 m.update(scored_eval(eval_step, state, [batch], prefix=""))
             if steps_in_window > 0:
                 m["pages_per_sec"] = (
                     steps_in_window * cfg.batch_size / max(train_elapsed, 1e-9)
                 )
-            logger.log(step + 1, m)
+            logger.log(done, m)
             t0 = time.time()
-            window_start = step + 1
-        ckpt.save(step + 1, state)
+            window_start = done
+        ckpt.save(done, state)
     ckpt.wait()
     ckpt.close()
     prefetch.close()

@@ -46,9 +46,27 @@ def make_seg_train_step(model, cfg: SegTrainConfig):
         return loss, (terms, updates)
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
-        (_, (terms, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
-        )
+        if cfg.grad_accum > 1:
+            from text_segmentation_image_inpainting_tpu.train.accum import (
+                accumulate_grads,
+            )
+
+            def grad_fn(params, aux, mb):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, aux["batch_stats"], mb
+                )
+
+            grads, terms, updates = accumulate_grads(
+                grad_fn,
+                state.params,
+                {"batch_stats": state.batch_stats},
+                batch,
+                cfg.grad_accum,
+            )
+        else:
+            (_, (terms, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch
+            )
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=updates["batch_stats"])
         metrics = {k: v for k, v in terms.items()}
