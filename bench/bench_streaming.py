@@ -30,6 +30,51 @@ METRIC = "dp_streaming_512px_pages_per_sec"
 SERVE_METRIC = "serve_streaming_512px_pages_per_sec"
 
 
+def measure_link(size_mb: float = 6.0) -> dict:
+    """Measured H2D / D2H rates of THIS session's device link, plus the
+    fixed round-trip latency. On a tunnel-attached chip these rates ARE
+    the serving wall; the serve benches emit them alongside the
+    throughput so `link_ceiling_pages_per_sec` is machine-checkable.
+
+    block_until_ready does not block on the axon tunnel (docs/STATUS.md),
+    so H2D is forced by a scalar readback and D2H uses FRESH device
+    arrays (jax caches a fetched array's numpy value).
+    """
+    dev = jax.devices()[0]
+    nbytes = int(size_mb * 1e6)
+    sink = jax.jit(lambda x: jnp.sum(x, dtype=jnp.uint32) & jnp.uint32(0xFF))
+    host = np.zeros((nbytes,), np.uint8)
+    int(sink(jax.device_put(host, dev)))  # warm compile + path
+
+    tiny = np.zeros((128,), np.uint8)
+    ts = sorted(
+        _timed(lambda: int(sink(jax.device_put(tiny, dev)))) for _ in range(5)
+    )
+    rtt_s = ts[len(ts) // 2]
+
+    ts = sorted(
+        _timed(lambda: int(sink(jax.device_put(host, dev)))) for _ in range(3)
+    )
+    h2d = nbytes / 1e6 / max(ts[len(ts) // 2] - rtt_s, 1e-9)
+
+    mk = jax.jit(lambda i: jnp.full((nbytes,), i, jnp.uint8))
+    arrs = [mk(jnp.uint8(i)) for i in range(4)]
+    np.asarray(arrs[0])  # warm
+    ts = sorted(_timed(lambda a=a: np.asarray(a)) for a in arrs[1:])
+    d2h = nbytes / 1e6 / max(ts[len(ts) // 2] - rtt_s, 1e-9)
+    return {
+        "h2d_mb_s": round(h2d, 1),
+        "d2h_mb_s": round(d2h, 1),
+        "link_rtt_ms": round(rtt_s * 1e3, 1),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
                depth: int = 3, pool: int = 0, chunk: int = 1, sparse: int = 0,
                trials: int = 1):
@@ -88,6 +133,7 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
         pass
 
     rates = []
+    wire0 = server.wire_bytes
     for _ in range(max(1, trials)):
         t0 = time.perf_counter()
         got = sum(1 for _ in server.serve(take(n_batches)))
@@ -100,6 +146,29 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
     if len(rates) > 1:
         extra["band_pages_per_sec"] = [round(rates[0], 1), round(rates[-1], 1)]
         extra["trials"] = len(rates)
+
+    # link-ceiling accounting (VERDICT r3 item 3): wire bytes per page in
+    # each direction / measured link rate = the hard throughput ceiling
+    # of this rig, independent of compute. H2D ships the uint8 input
+    # page; D2H ships the dense uint8 page+mask, or the measured sparse
+    # flat buffers (adaptive tile budget — true bytes accounted by the
+    # server). Directions overlap, so the ceiling is the binding one.
+    link = measure_link()
+    h2d_bytes = size * size * 3
+    if sparse:
+        total_pages = max(1, batch * n_batches * max(1, trials))
+        d2h_bytes = (server.wire_bytes - wire0) / total_pages
+    else:
+        d2h_bytes = size * size * 4  # clean RGB + mask, uint8
+    ceil_h2d = link["h2d_mb_s"] * 1e6 / h2d_bytes
+    ceil_d2h = link["d2h_mb_s"] * 1e6 / max(d2h_bytes, 1)
+    extra.update(
+        link,
+        h2d_bytes_per_page=int(h2d_bytes),
+        d2h_bytes_per_page=int(d2h_bytes),
+        link_ceiling_pages_per_sec=round(min(ceil_h2d, ceil_d2h), 1),
+        ceiling_attained=round(pages_per_sec / min(ceil_h2d, ceil_d2h), 3),
+    )
     emit(SERVE_METRIC, pages_per_sec, "pages/s",
          pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP,
          batch=batch, n_batches=n_batches, depth=depth, pool=pool, chunk=chunk,
@@ -149,18 +218,33 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
     host_it = make_page_stream_u8(batch_size=batch, size=(size, size))
 
     def measure(source_iter, n, runner, shard, pages_per_dispatch):
+        """Returns (pages/s, detail) where detail splits the trial's wall
+        time into host-wait (blocked on the prefetcher = host synthesis /
+        H2D) vs sync-wait (the final D2H scalar read = device + tunnel) —
+        the two noise sources of this link, separable per trial."""
         pf = DevicePrefetcher(source_iter, sharding=shard, depth=3)
         try:
             b = next(pf)  # warmup: compile + fill the prefetch queue
             clean, mask = runner(seg_vars, unet_vars, b["image"])
             float(jnp.sum(mask.astype(jnp.float32)))
             t0 = time.perf_counter()
+            host_wait = 0.0
             outs = None
             for _ in range(n):
+                h0 = time.perf_counter()
                 b = next(pf)
+                host_wait += time.perf_counter() - h0
                 outs = runner(seg_vars, unet_vars, b["image"])
+            s0 = time.perf_counter()
             float(jnp.sum(outs[1].astype(jnp.float32)))  # sync on the last batch
-            return pages_per_dispatch * n / (time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            detail = {
+                "t_start": round(t0, 3),
+                "wall_s": round(t1 - t0, 3),
+                "host_wait_s": round(host_wait, 3),
+                "sync_wait_s": round(t1 - s0, 3),
+            }
+            return pages_per_dispatch * n / (t1 - t0), detail
         finally:
             pf.close()
 
@@ -179,16 +263,25 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
             yield {"image": np.stack([pool_imgs[(i + j) % pool] for j in range(chunk)])}
             i += chunk
 
-    # variance protocol (this tunnel link swings ±20% run to run —
-    # docs/STATUS.md): N trials, report the MEDIAN as the value with the
-    # min-max band alongside, all inside one bench invocation
+    # variance protocol (VERDICT r3 item 5): the two noise sources —
+    # tunnel stalls (device sync) vs host synthesis (prefetch wait) —
+    # are separated PER TRIAL; the headline gates on the chip-bound
+    # pool-cycled median, outlier trials carry their diagnosed cause.
     n_disp = max(1, n_batches // chunk)
-    rates = sorted(
-        measure(pooled(), n_disp, run_chunk, chunk_shard, batch * chunk)
-        for _ in range(max(1, trials))
-    )
+    trial_recs = []
+    for _ in range(max(1, trials)):
+        rate, detail = measure(pooled(), n_disp, run_chunk, chunk_shard, batch * chunk)
+        trial_recs.append({"pages_per_sec": round(rate, 1), **detail})
+    rates = sorted(r["pages_per_sec"] for r in trial_recs)
     pooled_rate = rates[len(rates) // 2]
-    live_rate = measure(
+    for rec in trial_recs:
+        if pooled_rate and abs(rec["pages_per_sec"] - pooled_rate) / pooled_rate > 0.2:
+            rec["outlier_cause"] = (
+                "tunnel/device stall (sync-dominated)"
+                if rec["sync_wait_s"] >= rec["host_wait_s"]
+                else "host starvation (prefetch-dominated)"
+            )
+    live_rate, live_detail = measure(
         ({"image": next(host_it)["image"]} for _ in iter(int, 1)),
         n_batches, run, sharding, batch,
     )
@@ -198,7 +291,10 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
          batch=batch, n_batches=n_batches, devices=n_dev, pool=pool, chunk=chunk,
          trials=len(rates),
          band_pages_per_sec=[round(rates[0], 1), round(rates[-1], 1)],
-         live_synthesis_pages_per_sec=round(live_rate, 2))
+         trial_detail=trial_recs,
+         live_synthesis_pages_per_sec=round(live_rate, 2),
+         live_synthesis_host_wait_s=live_detail["host_wait_s"],
+         live_synthesis_wall_s=live_detail["wall_s"])
 
 
 if __name__ == "__main__":

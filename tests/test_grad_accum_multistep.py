@@ -22,6 +22,7 @@ from text_segmentation_image_inpainting_tpu.models import (
 )
 from text_segmentation_image_inpainting_tpu.train import (
     InpaintTrainConfig,
+    OptimizerConfig,
     SegTrainConfig,
     create_train_state,
     make_inpaint_train_step,
@@ -35,11 +36,26 @@ from text_segmentation_image_inpainting_tpu.train.multistep import (
 
 SIZE = 32
 
+# Exactness tests (accumulated == big-batch) run in FLOAT64 with plain
+# SGD. Both knobs are load-bearing:
+#  * f64: the microbatch and big-batch forwards are different XLA
+#    programs, and BatchNorm's backward amplifies their ulp-level
+#    reassociation differences by the conditioning of 1/sqrt(var) at
+#    every layer — measured fp32 grad diffs reach 3e-2 on O(0.1) grads
+#    for unlucky data draws, while the same comparison in f64 agrees to
+#    4.6e-13. The invariant is exact; fp32 isn't precise enough to
+#    witness it elementwise.
+#  * SGD: under Adam the update lr*m/(sqrt(v)+eps) turns even tiny
+#    gradient diffs into ~2*lr param diffs wherever grads are near
+#    zero. With SGD, param diff == lr * grad diff.
+SGD = OptimizerConfig(kind="sgd")
 
-def _seg_setup(rng, **cfg_kw):
+
+def _seg_setup(rng, dtype=jnp.float32, **cfg_kw):
     cfg = SegTrainConfig(image_size=(SIZE, SIZE), width_mult=0.35, **cfg_kw)
-    model = TextSegmenter(width_mult=0.35, dtype=jnp.float32)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    model = TextSegmenter(width_mult=0.35, dtype=dtype)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3), dtype))
+    variables = jax.tree.map(lambda x: x.astype(dtype), variables)
     state = create_train_state(variables, model.apply, cfg.optimizer)
     return model, cfg, state
 
@@ -52,24 +68,31 @@ def _seg_batch(rng, n):
 
 
 def _dup(batch):
-    return jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), batch)
+    # sample-interleaved duplication [a,a,b,b]: accumulate_grads uses a
+    # STRIDED microbatch split (DP-friendly), so microbatch j of this
+    # batch is exactly the original [a,b] — per-microbatch BN statistics
+    # equal the big-batch statistics and the exactness invariant holds.
+    return jax.tree.map(lambda x: jnp.repeat(x, 2, axis=0), batch)
 
 
 def test_seg_grad_accum_matches_bigbatch_on_duplicated_halves(rng):
-    model, cfg1, state = _seg_setup(rng)
-    _, cfg2, _ = _seg_setup(rng, grad_accum=2)
-    batch = _dup(_seg_batch(rng, 2))
+    with jax.enable_x64():
+        model, cfg1, state = _seg_setup(rng, dtype=jnp.float64, optimizer=SGD)
+        _, cfg2, _ = _seg_setup(rng, dtype=jnp.float64, grad_accum=2, optimizer=SGD)
+        batch = jax.tree.map(
+            lambda x: x.astype(jnp.float64), _dup(_seg_batch(rng, 2))
+        )
 
-    s1, m1 = jax.jit(make_seg_train_step(model, cfg1))(state, batch)
-    s2, m2 = jax.jit(make_seg_train_step(model, cfg2))(state, batch)
+        s1, m1 = jax.jit(make_seg_train_step(model, cfg1))(state, batch)
+        s2, m2 = jax.jit(make_seg_train_step(model, cfg2))(state, batch)
 
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
-        s1.params,
-        s2.params,
-    )
-    # loss terms are microbatch means of identical halves == big-batch value
-    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=2e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11),
+            s1.params,
+            s2.params,
+        )
+        # loss terms are microbatch means of identical halves == big-batch value
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-9)
 
 
 def test_seg_grad_accum_trains(rng):
@@ -84,34 +107,48 @@ def test_seg_grad_accum_trains(rng):
 
 
 def test_inpaint_grad_accum_matches_bigbatch_on_duplicated_halves(rng):
-    cfg1 = InpaintTrainConfig(image_size=(SIZE, SIZE), depth=3)
-    cfg2 = InpaintTrainConfig(image_size=(SIZE, SIZE), depth=3, grad_accum=2)
-    model = InpaintUNet(depth=3, dtype=jnp.float32)
-    vgg = VGG16Features(dtype=jnp.float32)
-    half = {
-        "image": jnp.asarray(rng.random((2, SIZE, SIZE, 3), dtype=np.float32)),
-        "mask": jnp.asarray((rng.random((2, SIZE, SIZE, 1)) > 0.3).astype(np.float32)),
-    }
-    batch = _dup(half)
-    variables = model.init(
-        jax.random.key(1), batch["image"][:1] * batch["mask"][:1], batch["mask"][:1]
-    )
-    vgg_vars = vgg.init(jax.random.key(2), batch["image"][:1])
-    state = create_train_state(variables, model.apply, cfg1.optimizer)
+    with jax.enable_x64():
+        f64 = jnp.float64
+        from text_segmentation_image_inpainting_tpu.losses.inpainting import (
+            InpaintLossConfig,
+        )
 
-    s1, m1 = jax.jit(make_inpaint_train_step(model, cfg1, vgg_vars))(state, batch)
-    s2, m2 = jax.jit(make_inpaint_train_step(model, cfg2, vgg_vars))(state, batch)
+        loss64 = InpaintLossConfig(vgg_dtype="float64")
+        cfg1 = InpaintTrainConfig(
+            image_size=(SIZE, SIZE), depth=3, optimizer=SGD, loss=loss64
+        )
+        cfg2 = InpaintTrainConfig(
+            image_size=(SIZE, SIZE), depth=3, grad_accum=2, optimizer=SGD, loss=loss64
+        )
+        model = InpaintUNet(depth=3, dtype=f64)
+        vgg = VGG16Features(dtype=f64)
+        half = {
+            "image": jnp.asarray(rng.random((2, SIZE, SIZE, 3)), f64),
+            "mask": jnp.asarray((rng.random((2, SIZE, SIZE, 1)) > 0.3), f64),
+        }
+        batch = _dup(half)
+        variables = model.init(
+            jax.random.key(1), batch["image"][:1] * batch["mask"][:1], batch["mask"][:1]
+        )
+        variables = jax.tree.map(lambda x: x.astype(f64), variables)
+        vgg_vars = jax.tree.map(
+            lambda x: x.astype(f64), vgg.init(jax.random.key(2), batch["image"][:1])
+        )
+        state = create_train_state(variables, model.apply, cfg1.optimizer)
 
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
-        s1.params,
-        s2.params,
-    )
-    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=2e-5)
+        s1, m1 = jax.jit(make_inpaint_train_step(model, cfg1, vgg_vars))(state, batch)
+        s2, m2 = jax.jit(make_inpaint_train_step(model, cfg2, vgg_vars))(state, batch)
+
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11),
+            s1.params,
+            s2.params,
+        )
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-9)
 
 
 def test_multi_step_matches_sequential(rng):
-    model, cfg, state = _seg_setup(rng)
+    model, cfg, state = _seg_setup(rng, optimizer=SGD)
     step = make_seg_train_step(model, cfg)
     batches = [_seg_batch(rng, 2) for _ in range(3)]
 

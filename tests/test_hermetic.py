@@ -23,6 +23,22 @@ trimmed = drop_non_cpu_backends()
 devs = jax.devices()
 assert trimmed, "registry trim failed in a fresh interpreter"
 assert devs and all(d.platform == "cpu" for d in devs), devs
+
+# The trim must not deregister platform NAMES: pallas and checkify (via
+# optax->chex) register MLIR lowerings for platform 'tpu' at import time
+# and crash if 'tpu' left known_platforms() (round-3 regression).
+import jax.experimental.pallas  # noqa: F401
+import optax  # noqa: F401
+
+# And the package's model path must trace end-to-end under the trim —
+# ConvBNAct consults ops.depthwise.supports() on every trace.
+import jax.numpy as jnp
+from text_segmentation_image_inpainting_tpu.models.text_segmentation import TextSegmenter
+
+model = TextSegmenter()
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+logits = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+assert logits.shape == (1, 64, 64, 1), logits.shape
 print("HERMETIC-OK", len(devs))
 """
 

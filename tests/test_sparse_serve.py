@@ -191,3 +191,40 @@ def test_sparse_server_rejects_unpackable_tile():
     pipe, seg_vars, unet_vars = small_pipe()
     with pytest.raises(ValueError, match="tile % 8"):
         PageStreamServer(pipe, seg_vars, unet_vars, sparse_tiles=4, tile=20)
+
+
+def test_adaptive_budget_policy():
+    """The per-dispatch tile budget tracks observed demand: power-of-two
+    levels, 25% headroom over the last 8 batches, capped at sparse_tiles."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    server = PageStreamServer(pipe, seg_vars, unet_vars, sparse_tiles=96, tile=TILE)
+    assert server._k_levels == [16, 32, 64, 96]
+    assert server._k_next == 96  # first dispatch is safe (max budget)
+    server._observe_counts(np.array([3, 10]))
+    assert server._k_next == 16  # 10*1.25+1 = 13 -> level 16
+    server._observe_counts(np.array([40]))
+    assert server._k_next == 64  # 40*1.25+1 = 51 -> level 64
+    server._observe_counts(np.array([200]))
+    assert server._k_next == 96  # demand above the cap clamps to max
+    for _ in range(8):  # the busy batches age out of the window
+        server._observe_counts(np.array([2]))
+    assert server._k_next == 16
+
+
+def test_sparse_adaptive_undershoot_retries_and_matches_dense(rng):
+    """An undershot budget (forced k=1 on multi-tile pages) must retry on
+    the sparse wire at the max budget and still match the dense path."""
+    pipe, seg_vars, unet_vars = small_pipe()
+    batches = [rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8) for _ in range(3)]
+    dense = list(PageStreamServer(pipe, seg_vars, unet_vars).serve(iter(batches)))
+    server = PageStreamServer(pipe, seg_vars, unet_vars, sparse_tiles=4, tile=TILE)
+    server._k_next = 1  # force undershoot on the first dispatch
+    sparse = list(server.serve(iter(batches)))
+    assert server.wire_bytes > 0
+    for pages, (dc, dm), (sc, sm) in zip(batches, dense, sparse):
+        np.testing.assert_array_equal(sm, dm)
+        n = pages.shape[0]
+        tflags = dm[..., 0].reshape(n, 2, TILE, 2, TILE).max(axis=(2, 4))
+        region = np.kron(tflags, np.ones((TILE, TILE))).astype(bool)
+        np.testing.assert_array_equal(sc[region], dc[region])
+        np.testing.assert_array_equal(sc[~region], pages[~region])

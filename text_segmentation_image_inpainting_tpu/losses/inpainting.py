@@ -25,6 +25,11 @@ from text_segmentation_image_inpainting_tpu.models.vgg import VGG16Features
 from text_segmentation_image_inpainting_tpu.ops.morphology import dilate_mask
 
 
+def _at_least_f32(x):
+    """Promote bf16/f16 inputs to f32 but PRESERVE f64 (x64 exactness tests)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 @dataclasses.dataclass(frozen=True)
 class InpaintLossConfig:
     valid: float = 1.0
@@ -52,7 +57,8 @@ def gram_matrix(feats: jnp.ndarray) -> jnp.ndarray:
     # keep the input dtype (bf16 inputs -> bf16 MXU matmul); accumulate
     # and return fp32 via preferred_element_type
     f = feats.reshape(n, h * w, c)
-    gram = jnp.einsum("npc,npd->ncd", f, f, preferred_element_type=jnp.float32)
+    acc = jnp.promote_types(feats.dtype, jnp.float32)
+    gram = jnp.einsum("npc,npd->ncd", f, f, preferred_element_type=acc)
     return gram / float(c * h * w)
 
 
@@ -62,8 +68,8 @@ def total_variation_loss(comp: jnp.ndarray, hole_region: jnp.ndarray) -> jnp.nda
     Paper: smoothness penalty on P, the 1-px dilation of the hole. A
     difference term counts when BOTH its endpoints are in P.
     """
-    comp = comp.astype(jnp.float32)
-    region = hole_region.astype(jnp.float32)
+    comp = _at_least_f32(comp)
+    region = hole_region.astype(comp.dtype)
     dy = jnp.abs(comp[:, 1:] - comp[:, :-1]) * (region[:, 1:] * region[:, :-1])
     dx = jnp.abs(comp[:, :, 1:] - comp[:, :, :-1]) * (region[:, :, 1:] * region[:, :, :-1])
     denom = jnp.maximum(jnp.sum(region), 1.0) * comp.shape[-1]
@@ -71,7 +77,7 @@ def total_variation_loss(comp: jnp.ndarray, hole_region: jnp.ndarray) -> jnp.nda
 
 
 def _masked_l1(a, b, m, *, normalize_by_mask: bool) -> jnp.ndarray:
-    diff = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)) * m
+    diff = jnp.abs(_at_least_f32(a) - _at_least_f32(b)) * m
     if normalize_by_mask:
         return jnp.sum(diff) / (jnp.maximum(jnp.sum(m), 1.0) * a.shape[-1])
     return jnp.mean(diff)
@@ -102,7 +108,7 @@ def inpainting_loss(
             normalize=config.vgg_normalize,
             dtype=jnp.dtype(config.vgg_dtype),
         )
-    mask = mask.astype(jnp.float32)
+    mask = mask.astype(jnp.promote_types(jnp.result_type(out, mask), jnp.float32))
     hole = 1.0 - mask
     comp = mask * gt + hole * out
 
@@ -131,9 +137,10 @@ def inpainting_loss(
     for fo, fc, fg in zip(feats_out, feats_comp, feats_gt):
         denom = float(fg.size)
         # abs-diffs in the tap dtype (bf16 under vgg_dtype='bfloat16'),
-        # reductions accumulate fp32
-        perc += jnp.sum(jnp.abs(fo - fg), dtype=jnp.float32) / denom
-        perc += jnp.sum(jnp.abs(fc - fg), dtype=jnp.float32) / denom
+        # reductions accumulate fp32 (f64 under x64)
+        acc = jnp.promote_types(fo.dtype, jnp.float32)
+        perc += jnp.sum(jnp.abs(fo - fg), dtype=acc) / denom
+        perc += jnp.sum(jnp.abs(fc - fg), dtype=acc) / denom
         g_gt = gram_matrix(fg)  # fp32 out (preferred_element_type)
         style_out += jnp.mean(jnp.abs(gram_matrix(fo) - g_gt))
         style_comp += jnp.mean(jnp.abs(gram_matrix(fc) - g_gt))

@@ -12,6 +12,11 @@ import jax
 import jax.numpy as jnp
 
 
+def _at_least_f32(x):
+    """Promote bf16/f16 inputs to f32 but PRESERVE f64 (x64 exactness tests)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def bce_with_logits(logits, targets, *, pos_weight: float | None = None):
     """Numerically-stable binary cross entropy on logits.
 
@@ -19,8 +24,8 @@ def bce_with_logits(logits, targets, *, pos_weight: float | None = None):
     ``BCEWithLogitsLoss(pos_weight=...)`` — the reference's
     class-imbalance knob.
     """
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
+    logits = _at_least_f32(logits)
+    targets = targets.astype(logits.dtype)
     # log-sum-exp form: max(x,0) - x*t + log(1 + exp(-|x|))
     neg_abs = -jnp.abs(logits)
     softplus = jnp.log1p(jnp.exp(neg_abs))
@@ -36,8 +41,8 @@ def bce_with_logits(logits, targets, *, pos_weight: float | None = None):
 
 def dice_loss(logits, targets, *, eps: float = 1.0):
     """Soft dice: 1 - 2|P∩T| / (|P|+|T|), computed per-sample then meaned."""
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    targets = targets.astype(jnp.float32)
+    probs = jax.nn.sigmoid(_at_least_f32(logits))
+    targets = targets.astype(probs.dtype)
     axes = tuple(range(1, probs.ndim))
     inter = jnp.sum(probs * targets, axes)
     denom = jnp.sum(probs, axes) + jnp.sum(targets, axes)
@@ -46,8 +51,8 @@ def dice_loss(logits, targets, *, eps: float = 1.0):
 
 def focal_loss(logits, targets, *, gamma: float = 2.0, alpha: float = 0.25):
     """Focal loss (Lin et al. 2017) on logits."""
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
+    logits = _at_least_f32(logits)
+    targets = targets.astype(logits.dtype)
     p = jax.nn.sigmoid(logits)
     ce = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     p_t = p * targets + (1.0 - p) * (1.0 - targets)

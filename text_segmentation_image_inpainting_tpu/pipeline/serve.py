@@ -83,7 +83,28 @@ class PageStreamServer:
         if self._sparse and tile % 8 != 0:
             # the wire format packs mask pixels 8/byte along the tile row
             raise ValueError(f"sparse serving needs tile % 8 == 0, got tile={tile}")
-        # in-flight entries: (chunked, sparse, device_result, host_pages_u8|None)
+        # Adaptive tile budget: ``sparse_tiles`` is the MAX budget (and
+        # the compile-time cap); each dispatch actually ships the
+        # smallest power-of-two budget that covered the recently
+        # OBSERVED changed-tile counts with 25% headroom. D2H bytes are
+        # proportional to the budget, and on a tunnel-attached chip the
+        # result wire is the serving wall (docs/STATUS.md: ~15-27 MB/s
+        # D2H) — so tracking the content's real density is a direct
+        # throughput lever. Undershoot is safe: the packed ``count``
+        # field detects overflow and :meth:`_materialize_sparse` retries
+        # at the max budget (then densely if even that overflows).
+        self._k_levels = []
+        if self._sparse:
+            lv = 16
+            while lv < self._sparse:
+                self._k_levels.append(lv)
+                lv *= 2
+            self._k_levels.append(self._sparse)
+        self._k_next = self._sparse  # start safe, shrink to content
+        self._recent_counts: collections.deque = collections.deque(maxlen=8)
+        self._wire_bytes = 0  # cumulative flat-buffer D2H bytes (bench)
+        # in-flight entries:
+        # (chunked, k_used (0 = dense), device_result, host_pages_u8|None)
         self._inflight: collections.deque = collections.deque()
         self._done: collections.deque = collections.deque()
         self._pending: list = []  # chunked submit buffer (host side)
@@ -105,11 +126,9 @@ class PageStreamServer:
                 mask = mask.astype(jnp.uint8)
             return clean, mask
 
-        def run_sparse(seg_v, unet_v, pages):
+        def run_sparse(seg_v, unet_v, pages, k):
             clean, mask = pipe.run(seg_v, unet_v, _to_compute(pages))
-            packed = sparse_pack(
-                clean, mask[..., 0], max_tiles=self._sparse, tile=self._tile
-            )
+            packed = sparse_pack(clean, mask[..., 0], max_tiles=k, tile=self._tile)
             return sparse_flatten(packed)
 
         self._run = jax.jit(run, donate_argnums=(2,))
@@ -120,9 +139,14 @@ class PageStreamServer:
             lambda sv, uv, stack: jax.lax.map(lambda p: run(sv, uv, p), stack),
             donate_argnums=(2,),
         )
-        self._run_sparse = jax.jit(run_sparse, donate_argnums=(2,))
+        # per-budget executables (k is a static shape parameter); built
+        # lazily — a stream usually settles on one or two k levels
+        self._run_sparse = jax.jit(run_sparse, static_argnums=(3,), donate_argnums=(2,))
         self._run_sparse_chunk = jax.jit(
-            lambda sv, uv, stack: jax.lax.map(lambda p: run_sparse(sv, uv, p), stack),
+            lambda sv, uv, stack, k: jax.lax.map(
+                lambda p: run_sparse(sv, uv, p, k), stack
+            ),
+            static_argnums=(3,),
             donate_argnums=(2,),
         )
 
@@ -146,13 +170,33 @@ class PageStreamServer:
     def _dispatch(self, pages, *, chunked: bool) -> None:
         host = self._host_u8(pages) if self._sparse else None
         dev = self._device_put(host if host is not None else pages)
+        self._enqueue(dev, host, chunked=chunked)
+
+    def _enqueue(self, dev, host, *, chunked: bool) -> None:
         if self._sparse:
+            k = self._k_next
             fn = self._run_sparse_chunk if chunked else self._run_sparse
+            res = fn(self._seg_vars, self._unet_vars, dev, k)
+            self._inflight.append((chunked, k, res, host))
         else:
             fn = self._run_chunk if chunked else self._run
-        self._inflight.append(
-            (chunked, bool(self._sparse), fn(self._seg_vars, self._unet_vars, dev), host)
+            self._inflight.append(
+                (chunked, 0, fn(self._seg_vars, self._unet_vars, dev), None)
+            )
+
+    def _observe_counts(self, counts: np.ndarray) -> None:
+        """Track recent changed-tile demand; pick the next dispatch's
+        power-of-two budget with 25% headroom over the last 8 batches."""
+        self._recent_counts.append(int(counts.max(initial=0)))
+        target = max(1, int(max(self._recent_counts) * 1.25) + 1)
+        self._k_next = next(
+            (lv for lv in self._k_levels if lv >= target), self._k_levels[-1]
         )
+
+    @property
+    def wire_bytes(self) -> int:
+        """Cumulative sparse-result D2H bytes (bench accounting)."""
+        return self._wire_bytes
 
     # -- push-style API ----------------------------------------------------
     def submit(self, pages) -> None:
@@ -180,17 +224,37 @@ class PageStreamServer:
         oldest result has ``depth`` newer batches queued behind it)."""
         return len(self._inflight) > self._depth
 
-    def _materialize_sparse(self, buf, host) -> Tuple[np.ndarray, np.ndarray]:
+    def _materialize_sparse(self, buf, host, k_used: int) -> Tuple[np.ndarray, np.ndarray]:
         # sparse_pack clamps its slot count to the page's tile count, so
         # unflatten with the same clamp (a 256² page has 64 tiles — a
         # K=96 budget must not be read back as 96 slots)
         h, w = host.shape[1:3]
-        k = min(self._sparse, (h // self._tile) * (w // self._tile))
-        packed = sparse_unflatten(np.asarray(buf), max_tiles=k, tile=self._tile)
+        t = (h // self._tile) * (w // self._tile)
+        k = min(k_used, t)
+        buf = np.asarray(buf)
+        self._wire_bytes += buf.nbytes
+        packed = sparse_unflatten(buf, max_tiles=k, tile=self._tile)
+        # packed.count is the TRUE changed-tile count (even when > k) —
+        # feed the budget tracker before any fallback
+        self._observe_counts(np.asarray(packed.count))
         clean, mask, overflow = sparse_recompose(host, packed, tile=self._tile)
+        kmax = min(self._sparse, t)
+        if overflow.any() and k < kmax:
+            # adaptive budget undershot this batch: retry at the MAX
+            # budget, still on the sparse wire (cheaper than dense)
+            buf2 = np.asarray(
+                self._run_sparse(
+                    self._seg_vars, self._unet_vars, self._device_put(host), self._sparse
+                )
+            )
+            self._wire_bytes += buf2.nbytes
+            packed2 = sparse_unflatten(buf2, max_tiles=kmax, tile=self._tile)
+            clean2, mask2, overflow2 = sparse_recompose(host, packed2, tile=self._tile)
+            clean[overflow], mask[overflow] = clean2[overflow], mask2[overflow]
+            overflow = overflow & overflow2
         if overflow.any():
-            # rare: more changed tiles than the static budget — redo the
-            # whole batch densely and keep the dense overflowed pages.
+            # rare: more changed tiles than even the max budget — redo
+            # the batch densely and keep the dense overflowed pages.
             # Honor the server's sharding: jnp.asarray would compile a
             # second (unsharded) executable and run on one device.
             dc, dm = self._run(self._seg_vars, self._unet_vars, self._device_put(host))
@@ -206,13 +270,13 @@ class PageStreamServer:
             return self._done.popleft()
         if not self._inflight:
             return None
-        chunked, sparse, res, host = self._inflight.popleft()
-        if sparse:
+        chunked, k_used, res, host = self._inflight.popleft()
+        if k_used:
             bufs = np.asarray(res)
             if not chunked:
-                return self._materialize_sparse(bufs, host)
+                return self._materialize_sparse(bufs, host, k_used)
             for b, h in zip(bufs, host):
-                self._done.append(self._materialize_sparse(b, h))
+                self._done.append(self._materialize_sparse(b, h, k_used))
             return self._done.popleft()
         clean, mask = np.asarray(res[0]), np.asarray(res[1])
         if not chunked:
@@ -265,15 +329,7 @@ class PageStreamServer:
                 img = batch["image"]
                 host = host_q.popleft()
                 chunked = self._chunk > 1 and img.ndim == 5
-                if self._sparse:
-                    fn = self._run_sparse_chunk if chunked else self._run_sparse
-                else:
-                    fn = self._run_chunk if chunked else self._run
-                self._inflight.append(
-                    (chunked, bool(self._sparse),
-                     fn(self._seg_vars, self._unet_vars, img),
-                     host if self._sparse else None)
-                )
+                self._enqueue(img, host if self._sparse else None, chunked=chunked)
                 while self.ready() and self._inflight:
                     yield self.collect()
                 while self._done:

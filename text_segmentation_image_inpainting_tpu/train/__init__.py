@@ -1,5 +1,6 @@
 from text_segmentation_image_inpainting_tpu.train.config import (
     InpaintTrainConfig,
+    OptimizerConfig,
     SegTrainConfig,
 )
 from text_segmentation_image_inpainting_tpu.train.state import TrainState, create_train_state
@@ -11,6 +12,7 @@ from text_segmentation_image_inpainting_tpu.train.multistep import (
 )
 
 __all__ = [
+    "OptimizerConfig",
     "SegTrainConfig",
     "InpaintTrainConfig",
     "TrainState",

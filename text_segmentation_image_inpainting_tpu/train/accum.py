@@ -48,7 +48,15 @@ def accumulate_grads(
     n = jax.tree.leaves(batch)[0].shape[0]
     if n % k != 0:
         raise ValueError(f"batch size {n} not divisible by grad_accum {k}")
-    micro = jax.tree.map(lambda x: x.reshape((k, n // k) + x.shape[1:]), batch)
+    # STRIDED split (microbatch j = samples [j, k+j, 2k+j, ...]) rather
+    # than contiguous (k, n/k) reshape: under DP the batch axis is
+    # sharded over the device mesh, and a contiguous microbatch lives on
+    # a device SUBSET — GSPMD then reshards (or idles devices) on every
+    # scan iteration. The strided view keeps each microbatch spanning
+    # all devices evenly, so each grad_fn call is a full-width DP step.
+    micro = jax.tree.map(
+        lambda x: x.reshape((n // k, k) + x.shape[1:]).swapaxes(0, 1), batch
+    )
     mb0 = jax.tree.map(lambda x: x[0], micro)
     (_, (terms_shape, _)), grads_shape = jax.eval_shape(grad_fn, params, aux, mb0)
 

@@ -12,6 +12,13 @@ from text_segmentation_image_inpainting_tpu.losses.inpainting import InpaintLoss
 
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig:
+    # 'adam' (default; amsgrad flag upgrades it) | 'sgd' (plain, with
+    # beta1 as momentum). SGD matters for exactness tests and staged
+    # fine-tunes: the Adam update lr*m/(sqrt(v)+eps) amplifies ulp-level
+    # gradient reassociation differences up to ~2*lr on near-zero grads,
+    # so bitwise-style comparisons of accumulated-vs-bigbatch steps are
+    # only meaningful under SGD.
+    kind: str = "adam"
     learning_rate: float = 2e-4
     beta1: float = 0.9
     beta2: float = 0.999

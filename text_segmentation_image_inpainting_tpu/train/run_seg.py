@@ -198,8 +198,14 @@ def main(argv=None):
             m = {k: float(v) for k, v in metrics.items()}
             if val_batches:
                 m.update(scored_eval(eval_step, state, val_batches))
-            elif spd == 1:
-                m.update(scored_eval(eval_step, state, [batch], prefix=""))
+            else:
+                # in-batch eval: under spd > 1 the dispatch batch is
+                # stacked (spd, N, ...) — score its freshest slice so
+                # log lines keep iou/psnr signals at every spd
+                last = (
+                    jax.tree.map(lambda x: x[-1], batch) if spd > 1 else batch
+                )
+                m.update(scored_eval(eval_step, state, [last], prefix=""))
             if steps_in_window > 0:
                 m["pages_per_sec"] = (
                     steps_in_window * cfg.batch_size / max(train_elapsed, 1e-9)

@@ -43,7 +43,13 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
     else:
         lr = cfg.learning_rate
-    if cfg.amsgrad:
+    if cfg.kind == "sgd":
+        opt = optax.sgd(lr, momentum=cfg.beta1 or None)
+        if cfg.weight_decay:
+            opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+    elif cfg.kind != "adam":
+        raise ValueError(f"unknown optimizer kind {cfg.kind!r} (adam|sgd)")
+    elif cfg.amsgrad:
         if cfg.weight_decay:
             # decoupled (AdamW-style) decay, SAME semantics as the
             # adamw branch below: decay is added AFTER the moment
