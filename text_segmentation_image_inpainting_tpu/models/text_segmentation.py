@@ -144,6 +144,10 @@ class TextSegmenter(nn.Module):
     decoder_mid: int = 128
     backbone: str = "mobilenet_v2"
     head: str = "mini"
+    # xception backbone only: middle-flow residual block count (the
+    # standard Xception-65 uses 8 repeats at OS16 geometry; smaller
+    # values give cheap capacity variants for tests/smoke runs)
+    middle_repeats: int = 8
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -154,7 +158,8 @@ class TextSegmenter(nn.Module):
             )
 
             taps = XceptionEncoder(
-                self.width_mult, self.output_stride, dtype=self.dtype, name="encoder"
+                self.width_mult, self.output_stride,
+                middle_repeats=self.middle_repeats, dtype=self.dtype, name="encoder"
             )(x, train=train)
         elif self.backbone == "mobilenet_v2":
             taps = MobileNetV2Encoder(
