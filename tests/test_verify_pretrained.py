@@ -48,6 +48,7 @@ def test_verify_vgg16_passes(vgg_file):
     assert out["coverage"]["unfilled"] == 0
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_verify_mobilenet_passes(mobilenet_file):
     out = vp.verify_mobilenet(mobilenet_file, size=64)
     assert out["ok"], out
@@ -55,6 +56,7 @@ def test_verify_mobilenet_passes(mobilenet_file):
     assert not out["segmenter_encoder_unfilled"]
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_cli_verdict_line(vgg_file, mobilenet_file, capsys):
     rc = vp.main(["--vgg16", vgg_file, "--mobilenet", mobilenet_file, "--size", "32"])
     assert rc == 0
@@ -81,3 +83,23 @@ def test_name_pair_roundtrip():
     }
     back = vp.tv_to_oracle_mobilenet(vp.oracle_to_tv_mobilenet(oracle_sd))
     assert set(back) == set(oracle_sd)
+
+
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
+def test_fabricate_writes_loadable_files(tmp_path):
+    """--fabricate produces torchvision-layout files that pass both
+    import gates (the transcript recipe's first leg)."""
+    made = vp.fabricate(str(tmp_path / "fab"))
+    assert vp.verify_vgg16(made["vgg16"], size=32)["ok"]
+    out = vp.verify_mobilenet(made["mobilenet"], size=64)
+    assert out["ok"], out
+
+
+@pytest.mark.slow
+def test_finetune_smoke_gates(mobilenet_file):
+    """The --finetune leg: loss must decrease over a short real-train
+    run with the imported encoder merged in (compiles a train step)."""
+    out = vp.finetune_smoke(mobilenet_file, steps=12, size=64, batch=2)
+    assert out["ok"], out
+    assert out["loss_last_quarter"] < out["loss_first_quarter"]
+    assert not out["encoder_unfilled"]

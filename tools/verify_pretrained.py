@@ -21,7 +21,17 @@ Per provided file it
   4. with ``--eval``: re-runs the held-out synthetic eval with the
      imported encoder merged over the committed trained segmenter
      snapshot (informational — a backbone swap under a decoder trained
-     against a different backbone is expected to move the numbers).
+     against a different backbone is expected to move the numbers),
+  5. with ``--finetune N``: merges the imported encoder into a fresh
+     segmenter and runs N real train steps on the synthetic stream,
+     gating on every-leaf-filled + finite losses + loss decrease.
+
+``--fabricate DIR`` first writes synthetic torchvision-layout ``.pth``
+files (via the in-repo torch oracle) and runs the chain on those — the
+recorded known-good transcript lives at
+``docs/quality_data/verify_pretrained_run.txt``; rerun the same command
+with ``--vgg16/--mobilenet`` pointing at the real files when they
+appear.
 
 Prints ONE JSON verdict line; exit code 0 iff every gate passes.
 Synthetic state_dicts produced by the repo's torch oracle stand in for
@@ -143,7 +153,11 @@ def verify_vgg16(path: str, size: int) -> dict:
     ovgg.load_state_dict(osd, strict=False)
 
     x = np.random.default_rng(0).random((1, size, size, 3)).astype(np.float32)
-    got = jax.jit(jvgg.apply)(variables, jnp.asarray(x))
+    # parity must hold on ANY backend: TPU convs default to bf16 inputs
+    # (max err ~2e-3 vs the fp32 torch oracle); force full precision for
+    # the check itself — tolerances below are fp32-accumulation-sized
+    with jax.default_matmul_precision("highest"):
+        got = jax.jit(jvgg.apply)(variables, jnp.asarray(x))
     with torch.no_grad():
         want = ovgg(torch.from_numpy(np.moveaxis(x, -1, 1)))
     max_err = max(
@@ -187,7 +201,8 @@ def verify_mobilenet(path: str, size: int) -> dict:
     osd, missing = _filter_to_model(torch, oenc, tv_to_oracle_mobilenet(sd))
     oenc.load_state_dict(osd, strict=False)
 
-    got = jax.jit(enc.apply)(variables, jnp.asarray(x))
+    with jax.default_matmul_precision("highest"):  # see verify_vgg16
+        got = jax.jit(enc.apply)(variables, jnp.asarray(x))
     with torch.no_grad():
         want = oenc(torch.from_numpy(np.moveaxis(x, -1, 1)))
     errs = {
@@ -258,11 +273,100 @@ def eval_with_encoder(path: str, size: int, batches: int) -> dict:
     return json.loads(buf.getvalue().strip().splitlines()[-1])
 
 
+def finetune_smoke(path: str, steps: int, size: int = 128, batch: int = 4) -> dict:
+    """The 'does it train' leg of the drop-in runbook (VERDICT r4 task 8):
+    merge the imported encoder into a fresh segmenter and fine-tune for
+    ``steps`` real train steps on the synthetic stream. Gates: every
+    encoder leaf filled, every loss finite, and the mean loss over the
+    last quarter below the mean over the first quarter."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_segmentation_image_inpainting_tpu.compat.torch_import import (
+        import_torchvision_mobilenetv2,
+        load_torch_file,
+    )
+    from text_segmentation_image_inpainting_tpu.data.pipeline import make_dataset
+    from text_segmentation_image_inpainting_tpu.models.base import tolerant_merge
+    from text_segmentation_image_inpainting_tpu.models.text_segmentation import (
+        TextSegmenter,
+    )
+    from text_segmentation_image_inpainting_tpu.train import (
+        SegTrainConfig,
+        create_train_state,
+        make_seg_train_step,
+    )
+
+    cfg = SegTrainConfig(image_size=(size, size), batch_size=batch)
+    model = TextSegmenter(dtype=jnp.bfloat16 if cfg.bf16_compute else jnp.float32)
+    template = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.float32)
+    )
+    variables, report = tolerant_merge(
+        template, import_torchvision_mobilenetv2(load_torch_file(path), path=("encoder",))
+    )
+    enc_unfilled = [k for k in report["unfilled"] if "encoder" in k]
+
+    state = create_train_state(variables, model.apply, cfg.optimizer)
+    step_fn = jax.jit(make_seg_train_step(model, cfg), donate_argnums=0)
+    it = make_dataset("seg", batch_size=batch, size=(size, size), seed=0)
+    totals = []
+    for _ in range(steps):
+        state, metrics = step_fn(state, next(it))
+        totals.append(float(metrics["total"]))
+    q = max(1, steps // 4)
+    first_q, last_q = float(np.mean(totals[:q])), float(np.mean(totals[-q:]))
+    ok = (
+        not enc_unfilled
+        and all(np.isfinite(t) for t in totals)
+        and last_q < first_q
+    )
+    return {
+        "ok": bool(ok),
+        "steps": steps,
+        "size": size,
+        "batch": batch,
+        "encoder_unfilled": enc_unfilled[:5],
+        "loss_first_quarter": round(first_q, 4),
+        "loss_last_quarter": round(last_q, 4),
+        "loss_final": round(totals[-1], 4),
+    }
+
+
+def fabricate(out_dir: str) -> dict:
+    """Write synthetic-but-torchvision-layout vgg16/mobilenet_v2 .pth
+    files (the repo's torch oracle generates the weights — same
+    fabrication as tests/test_verify_pretrained.py), so the full chain
+    has something to run against until the real files appear."""
+    import torch
+
+    from tests.oracle import torch_ref
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    torch.manual_seed(0)
+    vsd = torch_ref.VGG16Features().state_dict()
+    vsd["classifier.0.weight"] = torch.zeros(8, 8)  # real files carry extras
+    torch.save(vsd, out / "vgg16.pth")
+    torch.manual_seed(1)
+    osd = torch_ref.MobileNetV2Encoder(width_mult=1.0, output_stride=8).state_dict()
+    tsd = oracle_to_tv_mobilenet(osd)
+    tsd["features.18.0.weight"] = torch.zeros(1280, 320, 1, 1)
+    tsd["classifier.1.weight"] = torch.zeros(1000, 1280)
+    torch.save(tsd, out / "mobilenet_v2.pth")
+    return {"vgg16": str(out / "vgg16.pth"), "mobilenet": str(out / "mobilenet_v2.pth")}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--vgg16", type=str, default=None, help="torchvision vgg16 .pth")
     p.add_argument("--mobilenet", type=str, default=None,
                    help="torchvision mobilenet_v2 .pth")
+    p.add_argument("--fabricate", type=str, default=None, metavar="DIR",
+                   help="first fabricate synthetic torchvision-layout .pth "
+                        "files into DIR and run the chain on those (stand-in "
+                        "recipe until the real files appear)")
     p.add_argument("--size", type=int, default=64,
                    help="parity input size (64 is plenty; all convs exercised)")
     p.add_argument("--eval", action="store_true",
@@ -270,9 +374,18 @@ def main(argv=None) -> int:
                         "imported encoder over the trained snapshot")
     p.add_argument("--eval-size", type=int, default=512)
     p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--finetune", type=int, default=0, metavar="N",
+                   help="fine-tune the merged segmenter for N steps on the "
+                        "synthetic stream and gate on the loss decreasing")
+    p.add_argument("--finetune-size", type=int, default=128)
+    p.add_argument("--finetune-batch", type=int, default=4)
     args = p.parse_args(argv)
+    if args.fabricate:
+        made = fabricate(args.fabricate)
+        args.vgg16 = args.vgg16 or made["vgg16"]
+        args.mobilenet = args.mobilenet or made["mobilenet"]
     if not args.vgg16 and not args.mobilenet:
-        p.error("provide --vgg16 and/or --mobilenet")
+        p.error("provide --vgg16 and/or --mobilenet (or --fabricate DIR)")
 
     verdict: dict = {}
     if args.vgg16:
@@ -282,6 +395,10 @@ def main(argv=None) -> int:
         if args.eval:
             verdict["heldout_eval"] = eval_with_encoder(
                 args.mobilenet, args.eval_size, args.eval_batches
+            )
+        if args.finetune:
+            verdict["finetune_smoke"] = finetune_smoke(
+                args.mobilenet, args.finetune, args.finetune_size, args.finetune_batch
             )
     verdict["ok"] = all(v.get("ok", True) for v in verdict.values() if isinstance(v, dict))
     print(json.dumps(verdict))
