@@ -18,6 +18,9 @@ from text_segmentation_image_inpainting_tpu.ops.pallas.depthwise_wgrad import (
     depthwise_wgrad,
 )
 
+# interpret-mode pallas compiles take minutes on the 1-core host
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _restore_flag():

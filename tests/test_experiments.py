@@ -3,6 +3,7 @@
 spectral-norm / self-attention experiment track)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -171,6 +172,7 @@ def test_self_attention_starts_as_identity_and_grads_flow():
     assert float(jnp.abs(g["gamma"])) > 0
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_inpaint_unet_attention_bottleneck():
     """InpaintUNet(attention=True): SAGAN block at the bottleneck — output
     geometry unchanged, attention params exist and receive gradient."""
@@ -233,6 +235,7 @@ def test_spectral_norm_conv_grad_matches_torch():
     np.testing.assert_allclose(np.asarray(g["bias"]), want_bias, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_inpaint_train_step_attention_sn_driver_path():
     """The driver stack trains InpaintUNet(attention_sn=True): the
     'spectral' collection rides the TrainState, power-iterates each

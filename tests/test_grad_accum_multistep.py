@@ -34,6 +34,10 @@ from text_segmentation_image_inpainting_tpu.train.multistep import (
     clamp_steps_per_dispatch,
 )
 
+# full train-step jit compiles (x accumulation variants) take minutes on
+# the 1-core host
+pytestmark = pytest.mark.slow
+
 SIZE = 32
 
 # Exactness tests (accumulated == big-batch) run in FLOAT64 with plain

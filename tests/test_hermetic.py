@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = """
@@ -163,6 +165,7 @@ raise RuntimeError("traceback must reach the driver")
     assert "traceback must reach the driver" in out.stderr, out.stderr
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_fresh_interpreter_gets_cpu_devices_without_touching_other_backends():
     env = dict(os.environ)
     # Re-create the production hazard when this machine has the axon

@@ -117,6 +117,7 @@ def test_vgg16_features_match_oracle():
         np.testing.assert_allclose(np.asarray(g), to_nhwc(w), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_tolerant_partial_load_encoder_only(seg_pair):
     """Reference behavior: encoder-only checkpoint loads into the full
     model, decoder keeps its fresh init (SURVEY.md section 3.4)."""

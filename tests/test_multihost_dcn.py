@@ -19,6 +19,9 @@ from pathlib import Path
 
 import pytest
 
+# two subprocess workers each pay their own jit compiles: minutes
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = textwrap.dedent(

@@ -13,6 +13,9 @@ from text_segmentation_image_inpainting_tpu.ops.pallas.partial_conv_kernel impor
     partial_conv2d_pallas,
 )
 
+# interpret-mode pallas compiles take minutes on the 1-core host
+pytestmark = pytest.mark.slow
+
 
 def _data(rng, n=1, h=16, w=16, cin=8, cout=16, g_sizes=(8,), k=3):
     x = rng.standard_normal((n, h, w, cin)).astype(np.float32)

@@ -75,6 +75,7 @@ def test_sparse_pack_counts_overflow(rng):
     np.testing.assert_array_equal(got, inputs)  # untouched: caller redoes densely
 
 
+@pytest.mark.slow  # jits the full server program: minutes on 1 core
 def test_sparse_server_matches_dense(rng):
     """Sparse serving == dense serving on the text mask everywhere and on
     the clean page inside every mask-touched tile; outside those tiles the
@@ -100,6 +101,7 @@ def test_sparse_server_matches_dense(rng):
         np.testing.assert_array_equal(sc[~region], pages[~region])
 
 
+@pytest.mark.slow  # jits the full server program: minutes on 1 core
 def test_sparse_server_overflow_falls_back_dense(rng):
     """With a 1-tile budget every page overflows -> results == dense."""
     pipe, seg_vars, unet_vars = small_pipe()
@@ -119,6 +121,7 @@ def test_sparse_server_overflow_falls_back_dense(rng):
                 np.testing.assert_array_equal(sm[i], dm[i])
 
 
+@pytest.mark.slow  # jits the full server program: minutes on 1 core
 def test_submit_chunked_matches_per_batch(rng):
     """chunk=2 push API: 5 submits -> 2 megabatch dispatches + flushed
     tail; results equal the unchunked server's, in order."""
@@ -142,6 +145,7 @@ def test_submit_chunked_matches_per_batch(rng):
         np.testing.assert_array_equal(gm, wm)
 
 
+@pytest.mark.slow  # jits the full server program: minutes on 1 core
 def test_submit_chunked_sparse(rng):
     """Sparse + chunked submit compose."""
     pipe, seg_vars, unet_vars = small_pipe()
@@ -165,6 +169,7 @@ def test_submit_chunked_sparse(rng):
         np.testing.assert_array_equal(sc[~region], pages[~region])
 
 
+@pytest.mark.slow  # jits the full server program: minutes on 1 core
 def test_sparse_budget_larger_than_page_tile_count(rng):
     """sparse_tiles bigger than the page's tile count (e.g. the K=96
     default serving 32² test pages with 4 tiles): sparse_pack clamps its
@@ -187,12 +192,14 @@ def test_sparse_budget_larger_than_page_tile_count(rng):
         np.testing.assert_array_equal(sc[~region], pages[~region])
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_sparse_server_rejects_unpackable_tile():
     pipe, seg_vars, unet_vars = small_pipe()
     with pytest.raises(ValueError, match="tile % 8"):
         PageStreamServer(pipe, seg_vars, unet_vars, sparse_tiles=4, tile=20)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_adaptive_budget_policy():
     """The per-dispatch tile budget tracks observed demand: power-of-two
     levels, 25% headroom over the last 8 batches, capped at sparse_tiles."""
@@ -211,6 +218,7 @@ def test_adaptive_budget_policy():
     assert server._k_next == 16
 
 
+@pytest.mark.slow  # jits the full server program: minutes on 1 core
 def test_sparse_adaptive_undershoot_retries_and_matches_dense(rng):
     """An undershot budget (forced k=1 on multi-tile pages) must retry on
     the sparse wire at the max budget and still match the dense path."""

@@ -2,6 +2,7 @@
 on the fake 8-device CPU mesh (SURVEY.md section 2.2 SP analogue)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,7 @@ def test_spatial_partial_conv_stride2_matches_single_device(rng):
         np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_spatial_inpaint_unet_matches_single_device(rng):
     """The UNMODIFIED InpaintUNet forward, H-sharded over 8 devices via
     the spatial_axis context, == single-device (VERDICT round-1 item 5)."""
@@ -83,6 +85,7 @@ def test_spatial_inpaint_unet_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_spatial_pipeline_gspmd_matches_single_device(rng):
     """Whole fused pipeline H-sharded via GSPMD annotation == unsharded."""
     from text_segmentation_image_inpainting_tpu.models import InpaintUNet, TextSegmenter

@@ -5,6 +5,9 @@ PP disposition — cross-device schedule with ICI ppermute handoff)."""
 import numpy as np
 import pytest
 
+# every test here compiles a full model program: minutes on 1 core
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

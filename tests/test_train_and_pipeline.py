@@ -38,6 +38,7 @@ def make_inpaint_batch(rng, n=8):
     return {"image": jnp.asarray(img), "mask": jnp.asarray(mask)}
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_seg_train_smoke_loss_decreases(rng):
     cfg = SegTrainConfig(
         image_size=(SIZE, SIZE), batch_size=8, width_mult=0.35,
@@ -57,6 +58,7 @@ def test_seg_train_smoke_loss_decreases(rng):
     assert int(state.step) == 5
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_seg_train_frozen_encoder(rng):
     cfg = SegTrainConfig(image_size=(SIZE, SIZE), width_mult=0.35)
     model = TextSegmenter(width_mult=cfg.width_mult)
@@ -75,6 +77,7 @@ def test_seg_train_frozen_encoder(rng):
     assert not np.array_equal(old_dec, new_dec)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_inpaint_train_smoke_loss_decreases(rng):
     cfg = InpaintTrainConfig(
         image_size=(SIZE, SIZE), depth=3,
@@ -98,6 +101,7 @@ def test_inpaint_train_smoke_loss_decreases(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_seg_train_dp_matches_single_device(rng):
     """DP over the 8-device mesh must produce the same params as
     single-device training on the same global batch (SPMD correctness)."""
@@ -146,6 +150,7 @@ def test_pipeline_end_to_end(rng):
     assert np.isfinite(np.asarray(clean)).all()
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_pipeline_dp_sharded(rng):
     mesh = make_mesh(8, platform="cpu")
     pipe = TextRemovalPipeline(
@@ -177,6 +182,7 @@ def test_metrics_sanity(rng):
     assert float(iou(m, 1 - m)) < 1e-5
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_pipeline_arbitrary_page_size(rng):
     """Non-multiple page sizes run through the fused pipeline via
     edge-pad + crop (the U-Net asserts divisibility by 2**depth)."""
@@ -204,6 +210,7 @@ def test_pipeline_arbitrary_page_size(rng):
     assert sm.shape == (1, h, w, 1)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_inpaint_freeze_enc_bn_selective(rng):
     """freeze_bn fine-tune: encoder BN running stats stay fixed while
     decoder BN stats keep updating (Liu et al. phase 2)."""
@@ -235,6 +242,7 @@ def test_inpaint_freeze_enc_bn_selective(rng):
     assert changed, "decoder BN stats must keep updating under freeze_bn"
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_page_stream_server_matches_direct_run(rng):
     """Pipelined streaming serve == per-batch jitted run, order preserved."""
     from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
@@ -261,6 +269,7 @@ def test_page_stream_server_matches_direct_run(rng):
         np.testing.assert_array_equal(mask_u8, np.asarray(want_mask).astype(np.uint8))
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_page_stream_server_submit_collect(rng):
     from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
 
@@ -284,6 +293,7 @@ def test_page_stream_server_submit_collect(rng):
     np.testing.assert_allclose(outs[0][0], np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_page_stream_server_uint8_ingest(rng):
     """uint8 pages (the cheap-H2D wire format) == float pages / 255."""
     from text_segmentation_image_inpainting_tpu.pipeline import PageStreamServer
@@ -305,6 +315,7 @@ def test_page_stream_server_uint8_ingest(rng):
     np.testing.assert_array_equal(clean_u8, want_u8)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_page_stream_server_chunked_matches_direct(rng):
     """chunk=2 megabatch dispatch == per-batch results, order preserved,
     including a tail batch short of a full chunk."""

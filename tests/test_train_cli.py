@@ -5,6 +5,9 @@ import json
 
 import pytest
 
+# every test here compiles a full model program: minutes on 1 core
+pytestmark = pytest.mark.slow
+
 
 def _rows(path):
     return [json.loads(line) for line in open(path)]

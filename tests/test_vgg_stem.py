@@ -19,6 +19,9 @@ from text_segmentation_image_inpainting_tpu.ops.pallas.vgg_stem import (
     unpack_rows,
 )
 
+# interpret-mode pallas compiles take minutes on the 1-core host
+pytestmark = pytest.mark.slow
+
 
 def _mk(h, w, n=2, dtype=jnp.float32, seed=0):
     kx, kw, kb = jax.random.split(jax.random.PRNGKey(seed), 3)

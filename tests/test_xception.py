@@ -36,6 +36,7 @@ def strict_merge(template, imported):
     return merged
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 @pytest.mark.parametrize("output_stride", [8, 16])
 def test_xception_encoder_taps_match_oracle(output_stride):
     torch.manual_seed(1)
@@ -61,6 +62,7 @@ def test_xception_encoder_taps_match_oracle(output_stride):
     assert got["out"].shape[-1] == enc.out_channels
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_xception_segmenter_matches_oracle():
     torch.manual_seed(2)
     ref = torch_ref.TextSegmenter(
@@ -80,6 +82,7 @@ def test_xception_segmenter_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 @pytest.mark.parametrize("backbone", ["mobilenet_v2", "xception"])
 def test_deeplab_head_geometry_and_grad(backbone):
     model = TextSegmenter(width_mult=0.25, backbone=backbone, head="deeplab")
@@ -103,6 +106,7 @@ def test_deeplab_head_geometry_and_grad(backbone):
     assert pool_grads and any(float(jnp.abs(v).max()) > 0 for v in pool_grads)
 
 
+@pytest.mark.slow  # 30s+ of jit compile on the 1-core host
 def test_xception_seg_train_smoke():
     """A few SGD steps on one batch must reduce the seg loss (same smoke
     bar as the MobileNetV2 path in test_train_and_pipeline.py)."""
