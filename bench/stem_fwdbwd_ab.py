@@ -72,7 +72,12 @@ def stem_apply(params, x):
     return nn.max_pool(y, (2, 2), strides=(2, 2))
 
 
-def main(n_images: int = 16, size: int = 512, k: int = 8, reps: int = 3):
+def main(n_images: int = 16, size: int = 512, k: int = 8, reps: int = 3,
+         mode: str = "full"):
+    """mode: 'full' = grad wrt params AND x (the round-4 A/B);
+    'dx' = grad wrt x only — the REAL step's cost (VGG is frozen:
+    train/inpaint.py closes over vgg_variables, XLA never builds the
+    wgrads); 'kernel' = the fused Pallas dx path (vgg_stem_bwd)."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((n_images, size, size, 3), np.float32), jnp.bfloat16)
     g = jnp.asarray(rng.random((n_images, size // 2, size // 2, 64), np.float32),
@@ -84,22 +89,41 @@ def main(n_images: int = 16, size: int = 512, k: int = 8, reps: int = 3):
         "b1": jnp.zeros((64,), jnp.float32),
     }
 
+    if mode == "kernel":
+        from text_segmentation_image_inpainting_tpu.ops.pallas.vgg_stem_bwd import (
+            vgg_stem_frozen,
+        )
+
+        def apply_fn(params, x):
+            return vgg_stem_frozen(
+                x, params["w0"], params["b0"], params["w1"], params["b1"],
+                jnp.bfloat16, False,
+            )
+    else:
+        apply_fn = stem_apply
+
     def loss(params, x):
-        return jnp.vdot(stem_apply(params, x).astype(jnp.float32),
+        return jnp.vdot(apply_fn(params, x).astype(jnp.float32),
                         g.astype(jnp.float32))
 
-    # fwd+bwd wrt params AND x — dx is needed in the real step (the
-    # generator gradient flows through VGG back to the U-Net output)
-    fwdbwd = jax.grad(loss, argnums=(0, 1))
+    # 'full': grad wrt params AND x (round-4 protocol); 'dx'/'kernel':
+    # x only — what the frozen-VGG train step actually computes
+    fwdbwd = jax.grad(loss, argnums=(0, 1) if mode == "full" else (1,))
 
     @jax.jit
     def run_k(params, x):
         def body(carry, _):
             p, xx = carry
-            gp, gx = fwdbwd(p, xx)
-            # weight- and input-perturbed: the scan body is loop-variant,
-            # nothing hoists (bench/common.py protocol)
-            p = jax.tree.map(lambda a, b: a + 1e-12 * b.astype(a.dtype), p, gp)
+            grads = fwdbwd(p, xx)
+            if mode == "full":
+                gp, gx = grads
+                # weight- and input-perturbed: the scan body is loop-
+                # variant, nothing hoists (bench/common.py protocol)
+                p = jax.tree.map(
+                    lambda a, b: a + 1e-12 * b.astype(a.dtype), p, gp
+                )
+            else:
+                (gx,) = grads
             xx = xx + (1e-12 * gx).astype(xx.dtype)
             return (p, xx), gx[0, 0, 0, 0]
         (p, xx), out = lax.scan(body, (params, x), None, length=k)
@@ -136,8 +160,10 @@ def main(n_images: int = 16, size: int = 512, k: int = 8, reps: int = 3):
     prize_ms = xla_ms - pallas_lb_ms
     rec = {
         "metric": "vgg_stem_fwdbwd_ab",
+        "mode": mode,
         "n_images": n_images,
-        "xla_fwdbwd_ms": round(xla_ms, 2),
+        "xla_fwdbwd_ms" if mode != "kernel" else "fused_fwdbwd_ms":
+            round(xla_ms, 2),
         "xla_cost_model_gb": round(xla_gb, 3),
         "xla_cost_model_tflop": round(flops_cost_model, 3),
         "pallas_fused_lower_bound_ms": round(pallas_lb_ms, 2),
@@ -158,5 +184,9 @@ if __name__ == "__main__":
     p.add_argument("--n-images", type=int, default=16)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--k", type=int, default=8)
+    p.add_argument("--mode", choices=["full", "dx", "kernel"], default="full",
+                   help="full = wrt params+x (r4 protocol); dx = wrt x only "
+                        "(the frozen-VGG step's real cost); kernel = the "
+                        "fused Pallas dx path")
     args = p.parse_args()
-    main(args.n_images, args.size, args.k)
+    main(args.n_images, args.size, args.k, mode=args.mode)

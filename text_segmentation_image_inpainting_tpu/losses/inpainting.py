@@ -21,7 +21,10 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from text_segmentation_image_inpainting_tpu.models.vgg import VGG16Features
+from text_segmentation_image_inpainting_tpu.models.vgg import (
+    VGG16Features,
+    apply_vgg_features,
+)
 from text_segmentation_image_inpainting_tpu.ops.morphology import dilate_mask
 
 
@@ -45,6 +48,11 @@ class InpaintLossConfig:
     # accumulates in fp32 (sums use dtype=f32, Grams use
     # preferred_element_type=f32), so only the conv activations round.
     vgg_dtype: str = "float32"
+    # Route the VGG stem (conv0-relu-conv1-relu-pool1) through the fused
+    # Pallas dx-only backward (ops/pallas/vgg_stem_bwd.py) — identical
+    # forward, ~an-order-of-magnitude less HBM traffic in the stem's
+    # backward. Safe because vgg_variables are frozen constants here.
+    fused_stem: bool = False
 
 
 def gram_matrix(feats: jnp.ndarray) -> jnp.ndarray:
@@ -120,8 +128,9 @@ def inpainting_loss(
     # GEMMs keep the MXU fuller and halve kernel count vs two N-batch
     # applies (same math — VGG has no cross-batch ops; BN-free trunk)
     n = out.shape[0]
-    feats_oc = vgg_model.apply(
-        vgg_variables, jnp.concatenate([out, comp], axis=0)
+    feats_oc = apply_vgg_features(
+        vgg_model, vgg_variables, jnp.concatenate([out, comp], axis=0),
+        fused_stem=config.fused_stem,
     )
     feats_out = [f[:n] for f in feats_oc]
     feats_comp = [f[n:] for f in feats_oc]

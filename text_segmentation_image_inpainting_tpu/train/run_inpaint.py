@@ -80,6 +80,9 @@ def parse_args(argv=None):
                         "divide --log-every and --ckpt-every)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--fused-stem", action="store_true", default=False,
+                   help="route the VGG stem backward through the fused "
+                        "Pallas dx kernel (ops/pallas/vgg_stem_bwd.py)")
     p.add_argument("--vgg-ckpt", type=str, default=None, help="torchvision vgg16 .pth")
     p.add_argument("--ckpt-dir", type=str, default="checkpoints/inpaint")
     p.add_argument("--data-dir", type=str, default=None)
@@ -125,7 +128,10 @@ def main(argv=None):
         # --no-bf16 means a fully fp32 step: the config's bf16-VGG
         # training default must follow the flag, or the fp32 debug path
         # silently keeps bf16-rounded perceptual/style gradients
-        loss=InpaintLossConfig(vgg_dtype="bfloat16" if args.bf16 else "float32"),
+        loss=InpaintLossConfig(
+            vgg_dtype="bfloat16" if args.bf16 else "float32",
+            fused_stem=args.fused_stem,
+        ),
         pconv_impl=args.pconv_impl,
         optimizer=OptimizerConfig(learning_rate=args.lr),
         checkpoint_every=args.ckpt_every,
